@@ -1,0 +1,195 @@
+"""Experiment configuration.
+
+The reference threads an argparse ``args`` namespace through every layer
+(reference: main.py::parser [U], SURVEY.md §5 "config / flag system").
+Here the single source of truth is a frozen dataclass; ``main.py`` provides a
+CLI shim that accepts the reference's flag names verbatim so existing launch
+commands keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- experiment selection (reference: main.py flags [U]) ---
+    dataset_name: str = "dynamic_mnist"  # static_mnist | dynamic_mnist | fashion_mnist | omniglot | celeba | synthetic*
+    model_name: str = "vae"              # vae | hvae_2level | convhvae_2level
+    prior: str = "exemplar_prior"        # standard | vampprior | exemplar_prior
+
+    # --- architecture ---
+    z1_size: int = 40
+    z2_size: int = 40
+    hidden_size: int = 300
+    # input metadata — normally set by the data loader, not the user
+    input_size: Tuple[int, int, int] = (1, 28, 28)
+    input_type: str = "binary"           # binary | gray | continuous
+    dynamic_binarization: bool = True
+
+    # --- prior parameters ---
+    number_components: int = 50_000      # exemplar-set size N (vamp: #pseudo-inputs)
+    approximate_prior: bool = False      # use the kNN-subsampled exemplar prior
+    approximate_k: int = 10              # K nearest cached exemplars per batch point
+    prior_variance_init: float = 1.0     # init for the learned shared sigma^2
+    no_mask: bool = False                # disable leave-one-out masking (debug flag)
+    use_training_data_init: bool = False # vamp pseudo-input init from data
+
+    # --- optimization (reference defaults, SURVEY.md §0.1) ---
+    lr: float = 5e-4
+    batch_size: int = 100
+    test_batch_size: int = 100
+    epochs: int = 2000
+    warmup: int = 100                    # beta ramps 0->1 over this many epochs
+    early_stopping_epochs: int = 50
+    seed: int = 14
+
+    # --- evaluation ---
+    S: int = 5000                        # importance samples for test NLL
+    MB: int = 500                        # importance-sample chunk size
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    mesh_shape: Tuple[int, ...] = (1,)   # data-parallel mesh ('data',)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "float32"       # bfloat16 for throughput runs
+    use_pallas_prior: bool = True        # tiled Pallas pairwise-LSE kernel
+    prior_block_n: int = 2048            # exemplar-axis tile for blockwise prior
+    exact_reencode_chunk: int = 8192     # bank re-encode chunk (memory control)
+    donate_state: bool = True
+
+    # --- infrastructure ---
+    data_dir: str = "datasets"
+    snapshot_dir: str = "snapshots"
+    training_set_size: int = 50_000      # carve-out; synthetic fallback honors it
+    val_set_size: int = 10_000
+    test_set_size: int = 10_000
+    checkpoint_every: int = 0            # epochs; 0 = only best/final
+    resume: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # --- derived ---
+    @property
+    def input_dim(self) -> int:
+        c, h, w = self.input_size
+        return c * h * w
+
+    @property
+    def loo_mask_enabled(self) -> bool:
+        return self.prior == "exemplar_prior" and not self.no_mask
+
+    def experiment_name(self) -> str:
+        """Directory name derived from flag values (reference behavior:
+        main.py builds the snapshot dir from args [U])."""
+        core = (
+            f"{self.dataset_name}_{self.model_name}_{self.prior}"
+            f"_K{self.number_components}"
+            f"_wu{self.warmup}_z1{self.z1_size}_z2{self.z2_size}"
+        )
+        if self.prior == "exemplar_prior" and self.approximate_prior:
+            core += f"_approxK{self.approximate_k}"
+        digest = hashlib.md5(
+            json.dumps(dataclasses.asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:6]
+        return f"{core}_s{self.seed}_{digest}"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("input_size", "mesh_shape", "mesh_axes"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+def reference_arg_parser():
+    """argparse parser accepting the reference's flag names
+    (reference: main.py::parser [U]; SURVEY.md §5 flag list)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="exemplar_vae_tpu")
+    d = Config()
+    p.add_argument("--dataset_name", type=str, default=d.dataset_name)
+    p.add_argument("--model_name", type=str, default=d.model_name)
+    p.add_argument("--prior", type=str, default=d.prior,
+                   choices=["standard", "vampprior", "exemplar_prior"])
+    p.add_argument("--number_components", type=int, default=d.number_components)
+    p.add_argument("--approximate_prior", action="store_true")
+    p.add_argument("--approximate_k", type=int, default=d.approximate_k)
+    p.add_argument("--prior_variance", type=float, default=d.prior_variance_init)
+    p.add_argument("--no_mask", action="store_true")
+    p.add_argument("--use_training_data_init", action="store_true")
+    p.add_argument("--z1_size", type=int, default=d.z1_size)
+    p.add_argument("--z2_size", type=int, default=d.z2_size)
+    p.add_argument("--hidden_size", type=int, default=d.hidden_size)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--warmup", type=int, default=d.warmup)
+    p.add_argument("--early_stopping_epochs", type=int, default=d.early_stopping_epochs)
+    p.add_argument("--S", type=int, default=d.S)
+    p.add_argument("--MB", type=int, default=d.MB)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--training_set_size", type=int, default=d.training_set_size)
+    p.add_argument("--no_cuda", action="store_true",
+                   help="accepted for reference CLI compatibility; ignored (TPU/CPU chosen by JAX)")
+    p.add_argument("--dynamic_binarization", action="store_true", default=None)
+    # TPU-native extras
+    p.add_argument("--mesh", type=str, default=None,
+                   help="comma-separated mesh shape over ('data',), e.g. '8'")
+    p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--data_dir", type=str, default=d.data_dir)
+    p.add_argument("--snapshot_dir", type=str, default=d.snapshot_dir)
+    p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def config_from_args(ns) -> Config:
+    """Translate a reference-style argparse namespace into a Config."""
+    kw = dict(
+        dataset_name=ns.dataset_name,
+        model_name=ns.model_name.lower(),
+        prior=ns.prior,
+        number_components=ns.number_components,
+        approximate_prior=ns.approximate_prior,
+        approximate_k=ns.approximate_k,
+        prior_variance_init=ns.prior_variance,
+        no_mask=ns.no_mask,
+        use_training_data_init=ns.use_training_data_init,
+        z1_size=ns.z1_size,
+        z2_size=ns.z2_size,
+        hidden_size=ns.hidden_size,
+        batch_size=ns.batch_size,
+        test_batch_size=ns.test_batch_size,
+        lr=ns.lr,
+        epochs=ns.epochs,
+        warmup=ns.warmup,
+        early_stopping_epochs=ns.early_stopping_epochs,
+        S=ns.S,
+        MB=ns.MB,
+        seed=ns.seed,
+        training_set_size=ns.training_set_size,
+        compute_dtype=ns.compute_dtype,
+        use_pallas_prior=not ns.no_pallas,
+        data_dir=ns.data_dir,
+        snapshot_dir=ns.snapshot_dir,
+        checkpoint_every=ns.checkpoint_every,
+        resume=ns.resume,
+    )
+    if ns.mesh is not None:
+        kw["mesh_shape"] = tuple(int(x) for x in ns.mesh.split(","))
+    if ns.dynamic_binarization is not None:
+        kw["dynamic_binarization"] = ns.dynamic_binarization
+    return Config(**kw)

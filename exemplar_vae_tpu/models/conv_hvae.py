@@ -1,0 +1,141 @@
+"""Two-level convolutional hierarchical VAE
+(reference: models/convHVAE_2level.py [U]).
+
+Same factorization as HVAE (q(z2|x) q(z1|x,z2); p(z2) p(z1|z2) p(x|z1,z2))
+with GatedConv2d encoder stacks and a GatedConvTranspose decoder, NHWC.
+Channel counts follow the reference's ~32/64-channel 5x5/3x3 design
+(SURVEY.md §0.2 [M] — exact counts are a rebuild choice, documented here):
+
+  encoder:  GC(32,7x7,s1) -> GC(32,3x3,s2) -> GC(64,5x5,s1) -> GC(64,3x3,s2)
+  decoder:  dense -> (H/4, W/4, 64) -> GCT(64,s2) -> GCT(32,s2)
+            -> GC(32,3x3,s1) -> 1x1 conv heads
+
+Requires H and W divisible by 4 (28x28 and 64x64 both are).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.layers import (
+    GatedConv2d,
+    GatedConvTranspose2d,
+    GatedDense,
+    NonLinear,
+    hardtanh,
+    p_logvar_activation,
+    q_logvar_activation,
+)
+from exemplar_vae_tpu.ops.distributions import log_normal_diag
+
+
+def _enc_stack():
+    return [
+        GatedConv2d(32, (7, 7), (1, 1)),
+        GatedConv2d(32, (3, 3), (2, 2)),
+        GatedConv2d(64, (5, 5), (1, 1)),
+        GatedConv2d(64, (3, 3), (2, 2)),
+    ]
+
+
+class ConvHVAE(nn.Module, PriorMixin):
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.hidden_size
+        c_in, ih, iw = cfg.input_size
+        assert ih % 4 == 0 and iw % 4 == 0, "ConvHVAE needs H, W divisible by 4"
+        self._dec_hw = (ih // 4, iw // 4)
+        # q(z2 | x)
+        self.q_z2_conv = _enc_stack()
+        self.q_z2_mean_head = nn.Dense(cfg.z2_size)
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation)
+        # q(z1 | x, z2)
+        self.q_z1_conv = _enc_stack()
+        self.q_z1_z2 = GatedDense(h)
+        self.q_z1_joint = GatedDense(h)
+        self.q_z1_mean_head = nn.Dense(cfg.z1_size)
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        # p(z1 | z2)
+        self.p_z1_layers = [GatedDense(h), GatedDense(h)]
+        self.p_z1_mean_head = nn.Dense(cfg.z1_size)
+        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        # p(x | z1, z2)
+        self.p_x_z1 = GatedDense(h)
+        self.p_x_z2 = GatedDense(h)
+        dh, dw = self._dec_hw
+        self.p_x_project = nn.Dense(dh * dw * 64)
+        self.p_x_deconv = [
+            GatedConvTranspose2d(64, (3, 3), (2, 2)),
+            GatedConvTranspose2d(32, (3, 3), (2, 2)),
+            GatedConv2d(32, (3, 3), (1, 1)),
+        ]
+        self.p_x_mean_head = nn.Conv(c_in, (1, 1))
+        if cfg.input_type != "binary":
+            self.p_x_logvar_head = nn.Conv(c_in, (1, 1))
+        self._setup_prior()
+
+    # --- inference net ---
+    def encode_top(self, x):
+        h = x
+        for layer in self.q_z2_conv:
+            h = layer(h)
+        h = h.reshape(h.shape[0], -1)
+        return self.q_z2_mean_head(h), self.q_z2_logvar_head(h)
+
+    def encode_top_mean(self, x):
+        return self.encode_top(x)[0]
+
+    def q_z1(self, x, z2):
+        h = x
+        for layer in self.q_z1_conv:
+            h = layer(h)
+        hx = h.reshape(h.shape[0], -1)
+        hz = self.q_z1_z2(z2)
+        h = self.q_z1_joint(jnp.concatenate([hx, hz], axis=-1))
+        return self.q_z1_mean_head(h), self.q_z1_logvar_head(h)
+
+    # --- generative net ---
+    def p_z1(self, z2):
+        h = z2
+        for layer in self.p_z1_layers:
+            h = layer(h)
+        return self.p_z1_mean_head(h), self.p_z1_logvar_head(h)
+
+    def decode(self, z1, z2):
+        h1 = self.p_x_z1(z1)
+        h2 = self.p_x_z2(z2)
+        h = self.p_x_project(jnp.concatenate([h1, h2], axis=-1))
+        dh, dw = self._dec_hw
+        h = h.reshape(h.shape[0], dh, dw, 64)
+        for layer in self.p_x_deconv:
+            h = layer(h)
+        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h))
+        if self.cfg.input_type == "binary":
+            x_logvar = jnp.zeros_like(x_mean)
+        else:
+            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
+            x_logvar = p_logvar_activation(self.p_x_logvar_head(h))
+        return x_mean, x_logvar
+
+    def __call__(self, x, key):
+        k2, k1 = jax.random.split(key)
+        q2_mean, q2_logvar = self.encode_top(x)
+        z2 = reparameterize(k2, q2_mean, q2_logvar)
+        q1_mean, q1_logvar = self.q_z1(x, z2)
+        z1 = reparameterize(k1, q1_mean, q1_logvar)
+        p1_mean, p1_logvar = self.p_z1(z2)
+        extra_kl = (log_normal_diag(z1, q1_mean, q1_logvar)
+                    - log_normal_diag(z1, p1_mean, p1_logvar))
+        x_mean, x_logvar = self.decode(z1, z2)
+        return ForwardOut(z2, q2_mean, q2_logvar, x_mean, x_logvar, extra_kl)
+
+    def generate_from_top(self, z2, key):
+        p1_mean, p1_logvar = self.p_z1(z2)
+        z1 = reparameterize(key, p1_mean, p1_logvar)
+        return self.decode(z1, z2)[0]

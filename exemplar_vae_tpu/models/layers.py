@@ -1,0 +1,100 @@
+"""NN primitives (reference: utils/nn.py::GatedDense/GatedConv2d/NonLinear/he_init [U]).
+
+flax.linen modules, NHWC layout (TPU-native conv layout), He-normal init to
+match the reference's ``he_init``. ``hardtanh`` clamps mirror the reference's
+log-variance heads: q(z) log-var in [-6, 2]; continuous-likelihood decoder
+log-var in [-4.5, 0] (SURVEY.md §0.2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+he_init = nn.initializers.he_normal()
+
+
+def hardtanh(x, min_val: float = -1.0, max_val: float = 1.0):
+    return jnp.clip(x, min_val, max_val)
+
+
+class NonLinear(nn.Module):
+    """Linear layer with an optional activation (reference: utils/nn.py::NonLinear [U])."""
+    features: int
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.features, kernel_init=he_init)(x)
+        if self.activation is not None:
+            h = self.activation(h)
+        return h
+
+
+class GatedDense(nn.Module):
+    """h = f(W1 x) * sigmoid(W2 x) (reference: utils/nn.py::GatedDense [U]).
+
+    The two projections are fused into one matmul of 2x width so the MXU sees
+    a single large GEMM instead of two half-size ones.
+    """
+    features: int
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hg = nn.Dense(2 * self.features, kernel_init=he_init)(x)
+        h, g = jnp.split(hg, 2, axis=-1)
+        if self.activation is not None:
+            h = self.activation(h)
+        return h * jax.nn.sigmoid(g)
+
+
+class GatedConv2d(nn.Module):
+    """Gated convolution, NHWC (reference: utils/nn.py::GatedConv2d [U]).
+
+    Channel-fused: one conv with 2x output channels, split into value/gate.
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hg = nn.Conv(2 * self.features, self.kernel_size, strides=self.strides,
+                     padding="SAME", kernel_init=he_init)(x)
+        h, g = jnp.split(hg, 2, axis=-1)
+        if self.activation is not None:
+            h = self.activation(h)
+        return h * jax.nn.sigmoid(g)
+
+
+class GatedConvTranspose2d(nn.Module):
+    """Gated transposed convolution for decoders, NHWC."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (2, 2)
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        hg = nn.ConvTranspose(2 * self.features, self.kernel_size,
+                              strides=self.strides, padding="SAME",
+                              kernel_init=he_init)(x)
+        h, g = jnp.split(hg, 2, axis=-1)
+        if self.activation is not None:
+            h = self.activation(h)
+        return h * jax.nn.sigmoid(g)
+
+
+def q_logvar_activation(x):
+    """Clamp for inference-net log-variances (reference hardtanh [-6, 2])."""
+    return hardtanh(x, -6.0, 2.0)
+
+
+def p_logvar_activation(x):
+    """Clamp for continuous-decoder log-variances (reference hardtanh [-4.5, 0])."""
+    return hardtanh(x, -4.5, 0.0)
