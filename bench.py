@@ -1,0 +1,101 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.json config 1): train images/sec/chip for the
+VAE + dynamic-MNIST-shaped data + FULL exact exemplar prior (N = 50k,
+re-encoded differentiably every step, fused Pallas pairwise-LSE).
+
+vs_baseline anchors against the PyTorch re-expression of the reference's
+step (tools/torch_reference_baseline.py) measured on this machine's CPU —
+the reference never published throughput and this image has no CUDA torch
+(BASELINE.md). The baseline number is cached in bench_baseline_cache.json.
+
+Extra KPIs (exemplar-prior distances/sec, step latency) go to stderr so the
+stdout contract stays one line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
+    import jax
+    import jax.numpy as jnp
+
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+
+    cfg = Config(
+        dataset_name="synthetic",       # MNIST-shaped; no dataset files in image
+        model_name="vae",
+        prior="exemplar_prior",
+        number_components=n_exemplars,
+        training_set_size=n_exemplars,
+        val_set_size=256, test_set_size=256,
+        batch_size=batch,
+        hidden_size=300, z1_size=40,
+        warmup=100, S=8, MB=8,
+        use_pallas_prior=jax.default_backend() == "tpu",
+        prior_block_n=2048,
+        exact_reencode_chunk=8192,
+        snapshot_dir="/tmp/bench_snap",
+        seed=seed,
+    )
+    exp = Experiment(cfg, verbose=False)
+    ekey = jax.random.fold_in(exp.key, 1)
+    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
+                                steps=timed_steps, batch=batch)
+    beta = jnp.float32(1.0)
+    # warmup/compile with the SAME static shapes as the timed run
+    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    jax.block_until_ready(st.params)
+    t0 = time.perf_counter()
+    st, metrics = exp.epoch_fn(st, ex, eidx, exp.bank,
+                               jax.random.fold_in(ekey, 1), beta)
+    jax.block_until_ready(st.params)
+    dt = time.perf_counter() - t0
+    ips = timed_steps * batch / dt
+    dps = ips * n_exemplars  # exemplar-prior distances/sec
+    return ips, dps, dt / timed_steps, float(metrics["loss"])
+
+
+def baseline_images_per_sec(cache_path="bench_baseline_cache.json"):
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return json.load(f)["torch_cpu_images_per_sec"]
+    from tools.torch_reference_baseline import measure_torch_baseline
+    ips = measure_torch_baseline(steps=2, warmup=1)
+    with open(cache_path, "w") as f:
+        json.dump({"torch_cpu_images_per_sec": ips,
+                   "config": "vae exact exemplar prior N=50k batch=100"}, f)
+    return ips
+
+
+def main():
+    fast = os.environ.get("BENCH_FAST") == "1"
+    timed_steps = 20 if fast else 200
+    n_ex = 5_000 if fast else 50_000
+    ips, dps, step_s, loss = measure_ours(n_exemplars=n_ex,
+                                          timed_steps=timed_steps)
+    print(f"[bench] ours: {ips:.1f} img/s, {dps:.3e} distances/s, "
+          f"{step_s*1e3:.2f} ms/step, loss={loss:.2f}", file=sys.stderr)
+    try:
+        base = baseline_images_per_sec()
+    except Exception as e:
+        print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
+        base = None
+    vs = (ips / base) if base else None
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec (VAE, full exact exemplar prior N=%d, batch 100)" % n_ex,
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

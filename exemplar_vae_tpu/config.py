@@ -84,9 +84,21 @@ class Config:
     def loo_mask_enabled(self) -> bool:
         return self.prior == "exemplar_prior" and not self.no_mask
 
+    # fields that do NOT change what is being trained — excluded from the
+    # experiment-dir digest so e.g. bumping --epochs and resuming lands in
+    # the SAME directory (found via /verify: --resume silently started
+    # fresh in a new dir when --epochs changed)
+    _VOLATILE_FIELDS = frozenset({
+        "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
+        "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
+        "prior_block_n", "exact_reencode_chunk", "donate_state",
+        "data_dir", "snapshot_dir", "checkpoint_every", "resume",
+    })
+
     def experiment_name(self) -> str:
         """Directory name derived from flag values (reference behavior:
-        main.py builds the snapshot dir from args [U])."""
+        main.py builds the snapshot dir from args [U]). The digest covers
+        only run-identity fields, not infra/eval knobs."""
         core = (
             f"{self.dataset_name}_{self.model_name}_{self.prior}"
             f"_K{self.number_components}"
@@ -94,8 +106,10 @@ class Config:
         )
         if self.prior == "exemplar_prior" and self.approximate_prior:
             core += f"_approxK{self.approximate_k}"
+        ident = {k: v for k, v in dataclasses.asdict(self).items()
+                 if k not in self._VOLATILE_FIELDS}
         digest = hashlib.md5(
-            json.dumps(dataclasses.asdict(self), sort_keys=True, default=str).encode()
+            json.dumps(ident, sort_keys=True, default=str).encode()
         ).hexdigest()[:6]
         return f"{core}_s{self.seed}_{digest}"
 

@@ -1,0 +1,52 @@
+"""Deterministic synthetic image data.
+
+The build environment has no network and may have no dataset files
+(SURVEY.md §7.3 item 5), so every dataset has a hermetic, deterministic
+synthetic fallback with the same shapes/dtypes/split sizes. Images are
+class-structured mixtures of Gaussian blobs — enough signal that the VAE's
+ELBO visibly improves and the exemplar-conditioned augmentation classifier
+has something to learn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synthetic_images(n: int, h: int, w: int, c: int, *, n_classes: int = 10,
+                     seed: int = 0, blobs_per_class: int = 3):
+    """Returns (images float32 (n,h,w,c) in [0,1], labels int32 (n,))."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, n).astype(np.int32)
+
+    # fixed per-class blob layout (shared across samples of the class)
+    class_rng = np.random.default_rng(12345)
+    centers = class_rng.uniform(0.15, 0.85, (n_classes, blobs_per_class, 2))
+    sigmas = class_rng.uniform(0.06, 0.14, (n_classes, blobs_per_class))
+    amps = class_rng.uniform(0.6, 1.0, (n_classes, blobs_per_class))
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy /= max(h - 1, 1)
+    xx /= max(w - 1, 1)
+
+    # per-sample jitter of the class layout
+    jitter = rng.normal(0.0, 0.04, (n, blobs_per_class, 2)).astype(np.float32)
+    imgs = np.zeros((n, h, w), np.float32)
+    cy = centers[labels, :, 0] + jitter[:, :, 0]      # (n, blobs)
+    cx = centers[labels, :, 1] + jitter[:, :, 1]
+    sg = sigmas[labels]
+    am = amps[labels] * rng.uniform(0.8, 1.2, (n, blobs_per_class))
+    for b in range(blobs_per_class):
+        d2 = (yy[None] - cy[:, b, None, None]) ** 2 + \
+             (xx[None] - cx[:, b, None, None]) ** 2
+        imgs += am[:, b, None, None] * np.exp(
+            -d2 / (2.0 * sg[:, b, None, None] ** 2))
+    imgs = np.clip(imgs, 0.0, 1.0)
+    if c == 1:
+        out = imgs[..., None]
+    else:
+        # color channels as phase-shifted copies
+        chans = [np.clip(imgs * (0.6 + 0.4 * np.cos(k + labels[:, None, None]
+                 * 0.7)), 0, 1) for k in range(c)]
+        out = np.stack(chans, axis=-1).astype(np.float32)
+    return out.astype(np.float32), labels

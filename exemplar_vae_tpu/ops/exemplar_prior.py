@@ -150,6 +150,9 @@ def _pairwise_lse_bwd(impl, block_n, res, g):
     Masked entries have w = 0 and contribute nothing.
     """
     z, means, log_var, data_idx, ex_idx, valid, lse = res
+    # A fully-masked row (e.g. an all-padding bank shard under shard_map)
+    # has lse = -inf; clamp so exp(logits - lse) stays 0, not inf.
+    lse = jnp.maximum(lse, 0.5 * NEG_INF)
     b, d = z.shape
     n = means.shape[0]
     inv_var = jnp.exp(-log_var)

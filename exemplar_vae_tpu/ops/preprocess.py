@@ -1,0 +1,50 @@
+"""jit-fused on-device preprocessing (BASELINE.json north star).
+
+The reference does per-batch preprocessing on host/GPU inside the training
+loop (utils/training.py::train_one_epoch [U]: ``x = bernoulli(x)`` for
+dynamic binarization; CelebA dequantization in the loader). Here both run
+inside the jitted step on device:
+
+* dynamic binarization — a fresh Bernoulli sample of the gray levels every
+  step (the standard "dynamic MNIST" protocol, SURVEY.md §0.3);
+* uniform dequantization for continuous data — x stored as uint8,
+  (x + u)/256 with u ~ U[0,1) at train time, (x + 0.5)/256 at eval.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def to_float(x):
+    """uint8 [0,255] -> float32 [0,1); float input passes through."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 256.0
+    return x.astype(jnp.float32)
+
+
+def preprocess_batch(key, x, *, input_type: str, dynamic_binarization: bool,
+                     train: bool):
+    """Device-side batch preprocessing. x: uint8 or float in [0,1]."""
+    if input_type == "binary":
+        xf = to_float(x)
+        if dynamic_binarization and train:
+            return jax.random.bernoulli(key, xf).astype(jnp.float32)
+        if dynamic_binarization and not train:
+            # eval on binarized data: deterministic threshold-free sample
+            # with a fixed key is NOT what the reference does — it samples
+            # once per evaluation pass; callers pass a fixed eval key.
+            return jax.random.bernoulli(key, xf).astype(jnp.float32)
+        return xf
+    if input_type == "continuous":
+        if x.dtype == jnp.uint8:
+            xi = x.astype(jnp.float32)
+            if train:
+                u = jax.random.uniform(key, x.shape)
+            else:
+                u = 0.5
+            return (xi + u) / 256.0
+        return to_float(x)
+    # gray: logistic-256 likelihood on the raw gray levels
+    return to_float(x)

@@ -1,0 +1,55 @@
+"""Device mesh + sharding layout.
+
+The reference is single-device (SURVEY.md §0.5 — no torch.distributed, no
+NCCL); all parallelism here is new, TPU-native design (SURVEY.md §2.3):
+
+* mesh axis ``data``: batch rows AND the exemplar bank are sharded on it;
+* params are replicated (models are a few M params — no TP needed);
+* the exemplar-prior logsumexp reduces per-shard partials over ICI with
+  psum/pmax in log space (parallel/sharded_prior.py) — this project's
+  analogue of ring attention, the "sequence axis" being the exemplar count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from exemplar_vae_tpu.config import Config
+
+
+def create_mesh(cfg: Config) -> Mesh:
+    """Build the ('data',) mesh from cfg.mesh_shape over available devices."""
+    n = int(np.prod(cfg.mesh_shape))
+    devices = jax.devices()[:n]
+    if len(devices) < n:
+        raise ValueError(f"mesh needs {n} devices, have {len(jax.devices())}")
+    return Mesh(np.asarray(devices).reshape(cfg.mesh_shape), cfg.mesh_axes)
+
+
+def bank_sharding(mesh: Mesh) -> NamedSharding:
+    """Exemplar bank rows sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Per-step batch rows sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_shards(arr, mesh: Mesh, pad_value=0):
+    """Pad axis 0 to a multiple of the mesh size (returns array, true_n)."""
+    n_dev = mesh.devices.size
+    n = arr.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        arr = np.pad(np.asarray(arr), widths, constant_values=pad_value)
+    return arr, n

@@ -1,0 +1,130 @@
+"""Validation ELBO + importance-weighted test NLL.
+
+Reference: utils/evaluation.py::evaluate_loss / calculate_likelihood [U]
+(SURVEY.md §3.2). Protocol preserved:
+
+* test NLL = -[ logsumexp_s ( log p(x|z_s) + log p(z_s) - log q(z_s|x) )
+               - log S ],  S importance samples per test point;
+* at eval the exemplar prior uses the FULL bank (no kNN approximation) and
+  NO leave-one-out mask; the bank means are encoded once and reused across
+  every test point and sample (the reference re-uses its cache the same way);
+* the reference chunks S for ONE test point at a time — here chunks are
+  (T test points) x (R samples) per compiled call with an online-LSE carry
+  over rounds, so the MXU always sees T*R-row batches.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.ops.knn import encode_bank
+from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+from exemplar_vae_tpu.train.loss import Bank, elbo_terms
+
+
+def make_eval_bank_fn(model, cfg: Config):
+    """Encode the full exemplar bank once for evaluation (stop-gradient)."""
+
+    @jax.jit
+    def build(params, bank_images_raw, bank_data_idx, bank_valid, key):
+        imgs = preprocess_batch(key, bank_images_raw,
+                                input_type=cfg.input_type,
+                                dynamic_binarization=cfg.dynamic_binarization,
+                                train=False)
+        means = encode_bank(model, {"params": params}, imgs,
+                            chunk=cfg.exact_reencode_chunk, remat=False)
+        return jax.lax.stop_gradient(means)
+
+    def build_bank(params, bank: Bank, key) -> Bank:
+        if cfg.prior != "exemplar_prior":
+            return bank
+        means = build(params, bank.images, bank.data_idx, bank.valid, key)
+        return Bank(images=None, data_idx=bank.data_idx, valid=bank.valid,
+                    cache_means=means, n_effective=bank.n_effective)
+
+    return build_bank
+
+
+def make_elbo_eval_fn(model, cfg: Config):
+    """Mean validation loss/RE/KL on one batch (reference evaluate_loss [U])."""
+
+    @jax.jit
+    def eval_batch(params, x_raw, key, bank):
+        k_bin, k_z = jax.random.split(key)
+        x = preprocess_batch(k_bin, x_raw, input_type=cfg.input_type,
+                             dynamic_binarization=cfg.dynamic_binarization,
+                             train=False)
+        re, kl, _ = elbo_terms(model, {"params": params}, x, k_z, cfg,
+                               bank=bank, train=False)
+        return jnp.mean(-re + kl), jnp.mean(-re), jnp.mean(kl)
+
+    def evaluate(params, images_raw, key, bank, batch: Optional[int] = None):
+        n = images_raw.shape[0]
+        batch = min(batch or cfg.test_batch_size, n)
+        tot = np.zeros(3, np.float64)
+        for i, start in enumerate(range(0, n - n % batch, batch)):
+            out = eval_batch(params, images_raw[start:start + batch],
+                             jax.random.fold_in(key, i), bank)
+            tot += np.asarray([float(v) for v in out]) * batch
+        seen = (n // batch) * batch
+        return tuple(tot / max(seen, 1))  # (loss, RE, KL)
+
+    return evaluate
+
+
+def make_iwae_fn(model, cfg: Config):
+    """Importance-weighted NLL, S samples per point (reference
+    calculate_likelihood [U])."""
+
+    @functools.partial(jax.jit, static_argnames=("rounds", "r"))
+    def chunk_nll(params, x_chunk_raw, key, bank, rounds: int, r: int):
+        k_bin, k_s = jax.random.split(key)
+        x = preprocess_batch(k_bin, x_chunk_raw, input_type=cfg.input_type,
+                             dynamic_binarization=cfg.dynamic_binarization,
+                             train=False)
+        t = x.shape[0]
+        x_rep = jnp.repeat(x, r, axis=0)
+
+        def body(carry, i):
+            m, s = carry
+            kz = jax.random.fold_in(k_s, i)
+            re, kl, _ = elbo_terms(model, {"params": params}, x_rep, kz, cfg,
+                                   bank=bank, train=False)
+            a = (re - kl).reshape(t, r)
+            m_t = jnp.max(a, axis=1)
+            m_new = jnp.maximum(m, m_t)
+            s_new = s * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(a - m_new[:, None]), axis=1)
+            return (m_new, s_new), None
+
+        init = (jnp.full((t,), -1e30, jnp.float32), jnp.zeros((t,), jnp.float32))
+        (m, s), _ = jax.lax.scan(body, init, jnp.arange(rounds))
+        log_px = m + jnp.log(s) - math.log(rounds * r)
+        return -log_px
+
+    def calculate_likelihood(params, test_images_raw, key, bank,
+                             s_total: Optional[int] = None,
+                             chunk: Optional[int] = None,
+                             r: Optional[int] = None):
+        """Mean test NLL in nats/image. s_total ~ cfg.S, r ~ cfg.MB."""
+        s_total = s_total or cfg.S
+        r = min(r or cfg.MB, s_total)
+        rounds = max(s_total // r, 1)
+        chunk = chunk or cfg.test_batch_size
+        n = test_images_raw.shape[0]
+        nlls = []
+        for i, start in enumerate(range(0, n, chunk)):
+            xc = test_images_raw[start:start + chunk]
+            out = chunk_nll(params, xc, jax.random.fold_in(key, i), bank,
+                            rounds, r)
+            nlls.append(np.asarray(out))
+        return float(np.mean(np.concatenate(nlls))), np.concatenate(nlls)
+
+    return calculate_likelihood

@@ -1,0 +1,126 @@
+"""ELBO / IWAE term assembly (reference: models/BaseModel.py::calculate_loss [U]).
+
+Pure functions of (variables, batch, bank) so the whole train step jits and
+shards. The objective (SURVEY.md §0.1):
+
+    loss = -RE + beta * KL,   KL = E_q[log q(z|x) - log p(z|X)] (+ HVAE level-1)
+
+Exemplar-prior support resolution, three modes (SURVEY.md §3.1):
+  train+exact   — differentiably re-encode the WHOLE exemplar bank through
+                  the current encoder (rematerialized, chunked; sharded over
+                  the mesh via parallel/sharded_prior when a mesh is given)
+  train+approx  — kNN over the stale cached means, gather + fresh re-encode
+                  of each point's K neighbors (gradients flow), stale-cache
+                  semantics per SURVEY.md §3.5
+  eval          — precomputed full bank means, no LOO mask, denominator N
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models.base import reconstruction_log_lik
+from exemplar_vae_tpu.ops.distributions import log_normal_diag
+from exemplar_vae_tpu.ops.knn import encode_bank, knn_indices
+
+
+class Bank(NamedTuple):
+    """Exemplar-bank inputs threaded through the step functions.
+
+    images: preprocessed exemplar inputs (N, H, W, C) — None at eval.
+    data_idx: (N,) int32 global dataset indices (LOO addressing).
+    valid: (N,) bool — False rows are padding.
+    cache_means: (N, Dz) — stale cache (approx mode) or precomputed exact
+      means (eval); None in exact-train mode.
+    n_effective: static int — true exemplar count N (mixture denominator).
+    """
+    images: Any
+    data_idx: Any
+    valid: Any
+    cache_means: Any
+    n_effective: int
+
+
+def bank_log_denom(cfg: Config, bank: Bank, train: bool):
+    """log(N) at eval; log(N-1) when the LOO mask removes one component.
+
+    jnp math: ``bank.n_effective`` is a pytree leaf and may be traced."""
+    n = jnp.asarray(bank.n_effective, jnp.float32)
+    if train and cfg.loo_mask_enabled:
+        return jnp.log(n - 1.0)
+    return jnp.log(n)
+
+
+def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
+                            data_idx, train: bool, sharded_exact_fn=None):
+    """log p(z_top | exemplar bank) for the three support-resolution modes."""
+    log_denom = bank_log_denom(cfg, bank, train)
+    loo_idx = data_idx if (train and cfg.loo_mask_enabled) else None
+    impl = "pallas" if cfg.use_pallas_prior else "scan"
+
+    if train and cfg.approximate_prior:
+        # kNN over the stale cache, fresh differentiable re-encode of K
+        idx = knn_indices(out.q_mean, bank.cache_means, cfg.approximate_k)
+        imgs = jnp.take(bank.images, idx, axis=0)            # (B, K, ...)
+        flat = imgs.reshape((-1,) + imgs.shape[2:])
+        means = model.apply(variables, flat, method="encode_top_mean")
+        means = means.reshape(idx.shape + (means.shape[-1],))
+        ex_idx_bk = jnp.take(bank.data_idx, idx, axis=0)
+        return model.apply(
+            variables, out.z_top, bank_means=means, data_idx=loo_idx,
+            exemplar_idx=ex_idx_bk, log_denom=log_denom,
+            method="log_p_z_top")
+
+    if train:
+        # exact: differentiable full-bank re-encode
+        if sharded_exact_fn is not None:
+            return sharded_exact_fn(variables, out.z_top, loo_idx,
+                                    bank, log_denom)
+        means = encode_bank(model, variables, bank.images,
+                            chunk=cfg.exact_reencode_chunk)
+        return model.apply(
+            variables, out.z_top, bank_means=means, data_idx=loo_idx,
+            exemplar_idx=bank.data_idx, valid=bank.valid,
+            log_denom=log_denom, impl=impl, block_n=cfg.prior_block_n,
+            method="log_p_z_top")
+
+    # eval: precomputed exact means, no LOO
+    return model.apply(
+        variables, out.z_top, bank_means=bank.cache_means, data_idx=None,
+        exemplar_idx=bank.data_idx, valid=bank.valid, log_denom=log_denom,
+        impl=impl, block_n=cfg.prior_block_n, method="log_p_z_top")
+
+
+def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
+               bank: Optional[Bank] = None, train: bool = True,
+               sharded_exact_fn=None):
+    """One forward pass -> per-example (RE, KL).
+
+    The IWAE importance weight is ``RE - KL`` with these sampled terms
+    (reference: utils/evaluation.py::calculate_likelihood [U]).
+    """
+    out = model.apply(variables, x, key)
+    re = reconstruction_log_lik(x, out.x_mean, out.x_logvar, cfg.input_type)
+    log_q = log_normal_diag(out.z_top, out.q_mean, out.q_logvar)
+    if cfg.prior == "exemplar_prior":
+        log_p = exemplar_prior_log_prob(model, variables, out, cfg, bank,
+                                        data_idx, train, sharded_exact_fn)
+    else:
+        log_p = model.apply(variables, out.z_top, method="log_p_z_top")
+    kl = log_q - log_p + out.extra_kl
+    return re, kl, out
+
+
+def batch_loss(model, variables, x, key, beta, cfg: Config, *, data_idx=None,
+               bank=None, train=True, sharded_exact_fn=None):
+    """Scalar loss + aux metrics (reference: calculate_loss averaged [U])."""
+    re, kl, _ = elbo_terms(model, variables, x, key, cfg, data_idx=data_idx,
+                           bank=bank, train=train,
+                           sharded_exact_fn=sharded_exact_fn)
+    loss = jnp.mean(-re + beta * kl)
+    return loss, {"re": jnp.mean(-re), "kl": jnp.mean(kl), "loss": loss}

@@ -1,0 +1,45 @@
+"""AdamNormGrad as an optax GradientTransformation.
+
+The reference's optimizer (utils/optimizer.py::AdamNormGrad [U], inherited
+from the vampprior codebase) is Adam where each parameter tensor's gradient
+is L2-normalized — ``g <- g / (||g||_2 + 1e-7)`` per tensor — before the
+moment updates. Preserving this exactly matters for NLL parity
+(SURVEY.md §7.3 item 2: "AdamNormGrad semantics").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+NORM_EPS = 1e-7
+
+
+def normalize_per_leaf() -> optax.GradientTransformation:
+    """g <- g / (||g||_2 + 1e-7), independently for every parameter tensor."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def norm_one(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            return (g / (n + NORM_EPS)).astype(g.dtype)
+
+        return jax.tree.map(norm_one, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adam_norm_grad(lr: float, b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
+    """AdamNormGrad: per-tensor grad normalization, then standard Adam."""
+    return optax.chain(
+        normalize_per_leaf(),
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale(-lr),
+    )

@@ -1,0 +1,131 @@
+"""jit/pjit-compiled train step and whole-epoch scan.
+
+TPU-native restructuring of the reference's per-batch Python loop
+(utils/training.py::train_one_epoch [U], SURVEY.md §3.1):
+
+* the entire epoch is ONE compiled ``lax.scan`` over pre-permuted,
+  device-resident batches — no host<->device transfer per step, no dispatch
+  overhead;
+* dynamic binarization / dequantization runs inside the step (jit-fused
+  on-device preprocessing, BASELINE.json north star);
+* PRNG keys are folded per-step from one epoch key — bitwise reproducible;
+* on a mesh, batch rows and the exemplar bank are sharded over 'data'
+  (params replicated; XLA inserts the grad psum), and the exact exemplar
+  prior reduces per-shard LSE partials over ICI (parallel/sharded_prior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+from exemplar_vae_tpu.train.loss import Bank, batch_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32
+
+
+def init_train_state(model, tx, cfg: Config, key) -> TrainState:
+    c_in, h, w = cfg.input_size
+    x0 = jnp.zeros((2, h, w, c_in), jnp.float32)
+    variables = model.init(key, x0, key)
+    params = variables["params"]
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def _preprocess_bank(key, bank: Bank, cfg: Config) -> Bank:
+    if bank is None or bank.images is None:
+        return bank
+    imgs = preprocess_batch(key, bank.images, input_type=cfg.input_type,
+                            dynamic_binarization=cfg.dynamic_binarization,
+                            train=True)
+    return bank._replace(images=imgs)
+
+
+def make_train_step(model, tx, cfg: Config, sharded_exact_fn=None,
+                    bank_preprocessed: bool = False):
+    """Pure (state, x, idx, bank, key, beta) -> (state, metrics).
+
+    With ``bank_preprocessed`` the caller binarized/dequantized the bank
+    already (the epoch scan does it once per epoch — the bank tensor is
+    fixed within an epoch, like the reference's loader-held exemplar
+    tensors [U]; the per-step batch still gets a fresh sample)."""
+
+    def train_step(state: TrainState, x_raw, data_idx, bank: Optional[Bank],
+                   key, beta):
+        k_bin, k_bank, k_z = jax.random.split(key, 3)
+        x = preprocess_batch(k_bin, x_raw, input_type=cfg.input_type,
+                             dynamic_binarization=cfg.dynamic_binarization,
+                             train=True)
+        if cfg.prior == "exemplar_prior" and not bank_preprocessed:
+            bank = _preprocess_bank(k_bank, bank, cfg)
+
+        def loss_fn(params):
+            return batch_loss(model, {"params": params}, x, k_z, beta, cfg,
+                              data_idx=data_idx, bank=bank, train=True,
+                              sharded_exact_fn=sharded_exact_fn)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), aux
+
+    return train_step
+
+
+def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
+                  donate: bool = True):
+    """One compiled epoch: scan the train step over (S, B, ...) batches.
+
+    epoch_x / epoch_idx are the epoch's permuted batches, device-resident.
+    Returns (new_state, mean metrics over the epoch).
+    """
+    train_step = make_train_step(model, tx, cfg, sharded_exact_fn,
+                                 bank_preprocessed=True)
+
+    def epoch_fn(state, epoch_x, epoch_idx, bank, key, beta):
+        steps = epoch_x.shape[0]
+        if cfg.prior == "exemplar_prior":
+            bank = _preprocess_bank(jax.random.fold_in(key, 0x5eed), bank, cfg)
+
+        def body(carry, inp):
+            x, idx, i = inp
+            k = jax.random.fold_in(key, i)
+            return train_step(carry, x, idx, bank, k, beta)
+
+        state, auxs = jax.lax.scan(
+            body, state, (epoch_x, epoch_idx, jnp.arange(steps)))
+        return state, jax.tree.map(jnp.mean, auxs)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_cache_refresh(model, cfg: Config):
+    """Per-epoch exemplar-cache refresh (reference: BaseModel.cache_z [U]).
+
+    Encodes the whole (preprocessed) bank with the CURRENT params,
+    stop-gradient — the cache then lags the encoder by up to one epoch
+    (staleness semantics, SURVEY.md §3.5).
+    """
+    from exemplar_vae_tpu.ops.knn import encode_bank
+
+    @jax.jit
+    def refresh(params, bank_images_raw, key):
+        imgs = preprocess_batch(key, bank_images_raw,
+                                input_type=cfg.input_type,
+                                dynamic_binarization=cfg.dynamic_binarization,
+                                train=True)
+        means = encode_bank(model, {"params": params}, imgs,
+                            chunk=cfg.exact_reencode_chunk, remat=False)
+        return jax.lax.stop_gradient(means)
+
+    return refresh

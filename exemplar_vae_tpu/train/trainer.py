@@ -1,0 +1,269 @@
+"""Experiment driver (reference: experiment.py::experiment_vae [U];
+SURVEY.md §2 C2).
+
+Per-epoch protocol preserved from the reference: beta = min(1, epoch/warmup);
+[approximate prior] refresh the exemplar-latent cache; one training pass;
+validation ELBO; early stopping on val loss with patience
+``early_stopping_epochs``; keep the best-on-val params; final IWAE NLL with
+the best params.
+
+TPU-native additions (SURVEY.md §5): full train-state checkpointing with
+resume (params, optimizer moments, epoch, PRNG key, best-so-far), jsonl
+metrics, and device-resident data with one compiled scan per epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.data.loaders import load_dataset
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.parallel.mesh import create_mesh, pad_to_shards
+from exemplar_vae_tpu.parallel.sharded_prior import make_sharded_exact_prior
+from exemplar_vae_tpu.train.evaluation import (
+    make_elbo_eval_fn,
+    make_eval_bank_fn,
+    make_iwae_fn,
+)
+from exemplar_vae_tpu.train.loss import Bank
+from exemplar_vae_tpu.train.optimizer import adam_norm_grad
+from exemplar_vae_tpu.train.steps import (
+    TrainState,
+    init_train_state,
+    make_cache_refresh,
+    make_epoch_fn,
+)
+
+
+def beta_schedule(epoch: int, warmup: int) -> float:
+    """KL warm-up: beta ramps 0->1 over ``warmup`` epochs (reference [U])."""
+    if warmup <= 0:
+        return 1.0
+    return min(1.0, epoch / warmup)
+
+
+class Experiment:
+    """Owns data, model, mesh, compiled functions, and the epoch loop."""
+
+    def __init__(self, cfg: Config, verbose: bool = True):
+        self.splits, self.cfg = load_dataset(cfg)
+        cfg = self.cfg
+        self.verbose = verbose
+        self.mesh = create_mesh(cfg)
+        self.multi = self.mesh.devices.size > 1
+        self.model = create_model(cfg)
+        self.tx = adam_norm_grad(cfg.lr)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        # --- device-resident data ---
+        repl = NamedSharding(self.mesh, P())
+        self.train_x = jax.device_put(self.splits.train_x, repl)
+        self.train_idx = jax.device_put(self.splits.train_idx, repl)
+        self.n_train = int(self.splits.train_x.shape[0])
+        self.steps_per_epoch = self.n_train // cfg.batch_size
+
+        # --- exemplar bank (first number_components training points) ---
+        self.bank = None
+        self.sharded_exact_fn = None
+        if cfg.prior == "exemplar_prior":
+            n_ex = min(cfg.number_components, self.n_train)
+            imgs = np.asarray(self.splits.train_x[:n_ex])
+            idxs = np.arange(n_ex, dtype=np.int32)
+            valid = np.ones(n_ex, bool)
+            if self.multi:
+                imgs, _ = pad_to_shards(imgs, self.mesh)
+                idxs = np.pad(idxs, (0, len(imgs) - n_ex), constant_values=-2)
+                valid = np.pad(valid, (0, len(imgs) - n_ex))
+            shard = NamedSharding(self.mesh, P("data")) if self.multi else repl
+            cache = None
+            if cfg.approximate_prior:
+                top = cfg.z1_size if cfg.model_name.lower() == "vae" else cfg.z2_size
+                # approx mode keeps bank+cache replicated (SURVEY round-1
+                # scoping; MNIST-scale banks are ~150 MB)
+                shard = repl
+                cache = jax.device_put(np.zeros((len(imgs), top), np.float32), repl)
+            self.bank = Bank(
+                images=jax.device_put(imgs, shard),
+                data_idx=jax.device_put(idxs, shard),
+                valid=jax.device_put(valid, shard),
+                cache_means=cache,
+                n_effective=n_ex,
+            )
+            if self.multi and not cfg.approximate_prior:
+                self.sharded_exact_fn = make_sharded_exact_prior(
+                    self.model, cfg, self.mesh)
+
+        # --- compiled functions ---
+        self.epoch_fn = make_epoch_fn(self.model, self.tx, cfg,
+                                      self.sharded_exact_fn,
+                                      donate=cfg.donate_state)
+        self.cache_refresh = (make_cache_refresh(self.model, cfg)
+                              if cfg.approximate_prior else None)
+        self.build_eval_bank = make_eval_bank_fn(self.model, cfg)
+        self.elbo_eval = make_elbo_eval_fn(self.model, cfg)
+        self.iwae = make_iwae_fn(self.model, cfg)
+
+        batch_spec = (P(None, "data") if self.multi else P())
+        self._epoch_build = jax.jit(
+            self._build_epoch_impl,
+            static_argnames=("steps", "batch"),
+            out_shardings=(NamedSharding(self.mesh, batch_spec),
+                           NamedSharding(self.mesh, batch_spec)))
+
+        # --- state ---
+        self.state = jax.device_put(
+            init_train_state(self.model, self.tx, cfg,
+                             jax.random.fold_in(self.key, 0)), repl)
+        self.epoch = 0
+        self.best_val = float("inf")
+        # host copy: the live state buffers get donated by epoch_fn
+        self.best_params = jax.device_get(self.state.params)
+        self.bad_epochs = 0
+
+        # --- experiment dir + metrics ---
+        self.exp_dir = os.path.join(cfg.snapshot_dir, cfg.experiment_name())
+        os.makedirs(self.exp_dir, exist_ok=True)
+        with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        self._metrics_path = os.path.join(self.exp_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+    def _build_epoch_impl(self, train_x, train_idx, key, steps, batch):
+        perm = jax.random.permutation(key, train_x.shape[0])[:steps * batch]
+        perm = perm.reshape(steps, batch)
+        return jnp.take(train_x, perm, axis=0), jnp.take(train_idx, perm, axis=0)
+
+    def _log(self, record):
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self.verbose:
+            msg = " ".join(f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in record.items())
+            print(msg, flush=True)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> dict:
+        self.epoch += 1
+        cfg = self.cfg
+        beta = beta_schedule(self.epoch, cfg.warmup)
+        ekey = jax.random.fold_in(self.key, self.epoch)
+        bank = self.bank
+        if cfg.approximate_prior and bank is not None:
+            cache = self.cache_refresh(self.state.params, bank.images,
+                                       jax.random.fold_in(ekey, 1))
+            bank = bank._replace(cache_means=cache)
+            self.bank = bank
+        ex, eidx = self._epoch_build(self.train_x, self.train_idx,
+                                     jax.random.fold_in(ekey, 2),
+                                     steps=self.steps_per_epoch,
+                                     batch=cfg.batch_size)
+        t0 = time.perf_counter()
+        self.state, metrics = self.epoch_fn(self.state, ex, eidx, bank,
+                                            jax.random.fold_in(ekey, 3),
+                                            jnp.float32(beta))
+        metrics = jax.tree.map(float, jax.device_get(metrics))
+        dt = time.perf_counter() - t0
+        metrics.update(epoch=self.epoch, beta=beta, epoch_seconds=dt,
+                       images_per_sec=self.steps_per_epoch * cfg.batch_size / dt)
+        return metrics
+
+    def validate(self) -> tuple:
+        ekey = jax.random.fold_in(self.key, 1_000_000 + self.epoch)
+        eval_bank = (self.build_eval_bank(self.state.params, self.bank, ekey)
+                     if self.bank is not None else None)
+        return self.elbo_eval(self.state.params, self.splits.val_x,
+                              jax.random.fold_in(ekey, 5), eval_bank)
+
+    def run(self, max_epochs: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.epochs
+        while self.epoch < max_epochs:
+            m = self.train_epoch()
+            val_loss, val_re, val_kl = self.validate()
+            m.update(val_loss=float(val_loss), val_re=float(val_re),
+                     val_kl=float(val_kl))
+            # early stopping only once beta has fully warmed up, like the
+            # reference (the warm-up phase always improves raw loss) [U]
+            if float(val_loss) < self.best_val:
+                self.best_val = float(val_loss)
+                self.best_params = jax.device_get(self.state.params)
+                self.bad_epochs = 0
+                m["best"] = 1
+            elif self.epoch > cfg.warmup:
+                self.bad_epochs += 1
+            self._log(m)
+            if cfg.checkpoint_every and self.epoch % cfg.checkpoint_every == 0:
+                self.save_checkpoint()
+            if self.bad_epochs >= cfg.early_stopping_epochs:
+                break
+        return self.final_evaluation()
+
+    # ------------------------------------------------------------------
+    def final_evaluation(self, s_total: Optional[int] = None) -> dict:
+        """IWAE NLL on test with the best params (reference
+        final_evaluation [U]), plus visual artifacts."""
+        cfg = self.cfg
+        params = jax.device_put(self.best_params,
+                                NamedSharding(self.mesh, P()))
+        fkey = jax.random.fold_in(self.key, 999_983)
+        eval_bank = (self.build_eval_bank(params, self.bank, fkey)
+                     if self.bank is not None else None)
+        test_nll, _ = self.iwae(params, self.splits.test_x,
+                                jax.random.fold_in(fkey, 1), eval_bank,
+                                s_total=s_total)
+        val_loss, val_re, val_kl = self.elbo_eval(
+            params, self.splits.val_x, jax.random.fold_in(fkey, 2), eval_bank)
+        results = {"test_nll": float(test_nll), "best_val_loss": float(val_loss),
+                   "epochs_trained": self.epoch}
+        with open(os.path.join(self.exp_dir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        try:
+            self.save_artifacts(params, eval_bank, fkey)
+        except Exception as e:  # plotting must never kill a finished run
+            results["artifact_error"] = str(e)
+        self._log({"final_test_nll": float(test_nll)})
+        return results
+
+    def save_artifacts(self, params, eval_bank, key):
+        """Reconstruction / sample / neighborhood grids (reference
+        visual_evaluation [U])."""
+        from exemplar_vae_tpu.train import plots, sampling
+        cfg = self.cfg
+        x_test = self.splits.test_x[:25]
+        _, recon = sampling.reconstruct_x(self.model, params, cfg,
+                                          jax.random.fold_in(key, 10), x_test)
+        plots.save_grid(np.asarray(recon), os.path.join(self.exp_dir,
+                        "reconstructions.png"))
+        plots.save_grid(np.asarray(x_test if x_test.dtype != np.uint8
+                                   else x_test / 255.0),
+                        os.path.join(self.exp_dir, "real.png"))
+        bank_imgs = self.bank.images if self.bank is not None else None
+        gen = sampling.generate_x(self.model, params, cfg, 25,
+                                  jax.random.fold_in(key, 11), bank_imgs)
+        plots.save_grid(np.asarray(gen), os.path.join(self.exp_dir,
+                        "generations.png"))
+        if cfg.prior == "exemplar_prior":
+            refs = self.splits.train_x[:5]
+            neigh = sampling.reference_based_generation_x(
+                self.model, params, cfg, jax.random.fold_in(key, 12), refs,
+                n_per_ref=5)
+            plots.save_grid(np.asarray(neigh), os.path.join(
+                self.exp_dir, "exemplar_neighborhoods.png"))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, tag: str = "last"):
+        from exemplar_vae_tpu.train.checkpoints import save_checkpoint
+        save_checkpoint(self, tag)
+
+    def restore_checkpoint(self, tag: str = "last") -> bool:
+        from exemplar_vae_tpu.train.checkpoints import restore_checkpoint
+        return restore_checkpoint(self, tag)

@@ -1,0 +1,97 @@
+"""Loader contract + reference-CLI compatibility + sampling APIs."""
+
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config, config_from_args, reference_arg_parser
+from exemplar_vae_tpu.data import load_dataset
+from exemplar_vae_tpu.data.synthetic import synthetic_images
+
+
+def test_loader_contract_sets_metadata():
+    for name, itype, dyn in [("dynamic_mnist", "binary", True),
+                             ("static_mnist", "binary", False),
+                             ("fashion_mnist", "gray", False),
+                             ("omniglot", "binary", True),
+                             ("celeba", "continuous", False)]:
+        cfg = Config(dataset_name=name, training_set_size=64, val_set_size=16,
+                     test_set_size=16)
+        ds, cfg2 = load_dataset(cfg)
+        assert cfg2.input_type == itype
+        assert cfg2.dynamic_binarization == dyn
+        c, h, w = cfg2.input_size
+        assert ds.train_x.shape[1:] == (h, w, c)
+        assert ds.train_idx.dtype == np.int32
+        assert len(ds.train_idx) == len(ds.train_x)
+        if itype == "continuous" and ds.source == "synthetic":
+            assert ds.train_x.dtype == np.uint8
+
+
+def test_synthetic_deterministic():
+    a, la = synthetic_images(16, 14, 14, 1, seed=3)
+    b, lb = synthetic_images(16, 14, 14, 1, seed=3)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(la, lb)
+    assert a.min() >= 0 and a.max() <= 1
+
+
+def test_reference_cli_flags_accepted():
+    """The reference's launch command parses unchanged (SURVEY.md §5)."""
+    ns = reference_arg_parser().parse_args([
+        "--dataset_name", "dynamic_mnist", "--model_name", "vae",
+        "--prior", "exemplar_prior", "--number_components", "25000",
+        "--approximate_prior", "--approximate_k", "10",
+        "--z1_size", "40", "--z2_size", "40", "--hidden_size", "300",
+        "--batch_size", "100", "--lr", "0.0005", "--epochs", "2000",
+        "--warmup", "100", "--early_stopping_epochs", "50",
+        "--S", "5000", "--MB", "500", "--seed", "14", "--no_cuda",
+    ])
+    cfg = config_from_args(ns)
+    assert cfg.prior == "exemplar_prior"
+    assert cfg.number_components == 25000
+    assert cfg.approximate_prior and cfg.approximate_k == 10
+    assert cfg.lr == 5e-4 and cfg.warmup == 100
+
+
+def test_config_json_roundtrip():
+    cfg = Config(dataset_name="omniglot", mesh_shape=(4,))
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg == cfg2
+
+
+def test_experiment_name_varies_with_flags():
+    a = Config(prior="standard").experiment_name()
+    b = Config(prior="exemplar_prior").experiment_name()
+    assert a != b
+
+
+def test_sampling_apis(tmp_path):
+    from exemplar_vae_tpu.train import sampling
+    from exemplar_vae_tpu.models import create_model
+    cfg = Config(model_name="vae", prior="exemplar_prior", hidden_size=32,
+                 z1_size=8)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (20, 28, 28, 1))
+    v = m.init(k, x, k)
+    gen = sampling.generate_x(m, v["params"], cfg, 7, k, x)
+    assert gen.shape == (7, 28, 28, 1)
+    ref = sampling.reference_based_generation_x(m, v["params"], cfg, k,
+                                                x[:3], n_per_ref=4)
+    assert ref.shape == (12, 28, 28, 1)
+    orig, rec = sampling.reconstruct_x(m, v["params"], cfg, k, x[:5])
+    assert rec.shape == (5, 28, 28, 1)
+
+
+def test_plots_grid(tmp_path):
+    from exemplar_vae_tpu.train.plots import make_grid, save_grid
+    imgs = np.random.default_rng(0).random((9, 8, 8, 1)).astype(np.float32)
+    g = make_grid(imgs)
+    assert g.ndim == 3
+    p = tmp_path / "g.png"
+    save_grid(imgs, str(p))
+    assert p.exists()

@@ -1,0 +1,132 @@
+"""Exemplar-prior kernel: all impls vs a jnp.logaddexp oracle, LOO masking,
+denominators, gradients (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.ops.distributions import pairwise_log_normal
+from exemplar_vae_tpu.ops.exemplar_prior import exemplar_log_prob, lse_combine
+from exemplar_vae_tpu.models.base import rows_exemplar_log_prob
+
+B, N, D = 6, 357, 40
+IMPLS = ["naive", "scan", "pallas"]
+
+
+@pytest.fixture(scope="module")
+def problem():
+    k = jax.random.PRNGKey(0)
+    z = jax.random.normal(k, (B, D))
+    mu = jax.random.normal(jax.random.PRNGKey(1), (N, D)) * 0.5
+    lv = jnp.float32(-0.4)
+    didx = (jnp.arange(B, dtype=jnp.int32) * 7) % N   # all present in bank
+    eidx = jnp.arange(N, dtype=jnp.int32)
+    return z, mu, lv, didx, eidx
+
+
+def oracle(z, mu, lv, didx=None, eidx=None, log_denom=0.0):
+    logits = pairwise_log_normal(z, mu, lv)
+    if didx is not None:
+        logits = jnp.where(didx[:, None] == eidx[None, :], -jnp.inf, logits)
+    return jax.scipy.special.logsumexp(logits, axis=-1) - log_denom
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_matches_oracle_no_mask(problem, impl):
+    z, mu, lv, _, eidx = problem
+    want = oracle(z, mu, lv, log_denom=jnp.log(float(N)))
+    got = exemplar_log_prob(z, mu, lv, log_denom=jnp.log(float(N)),
+                            impl=impl, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_loo_mask_removes_own_component(problem, impl):
+    z, mu, lv, didx, eidx = problem
+    want = oracle(z, mu, lv, didx, eidx, jnp.log(float(N - 1)))
+    got = exemplar_log_prob(z, mu, lv, log_denom=jnp.log(float(N - 1)),
+                            data_idx=didx, exemplar_idx=eidx, impl=impl,
+                            block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # the mask must actually change the value when z sits ON its exemplar
+    z_on = mu[np.asarray(didx)]
+    masked = exemplar_log_prob(z_on, mu, lv, log_denom=0.0, data_idx=didx,
+                               exemplar_idx=eidx, impl=impl, block_n=128)
+    unmasked = exemplar_log_prob(z_on, mu, lv, log_denom=0.0, impl=impl,
+                                 block_n=128)
+    assert (np.asarray(unmasked) > np.asarray(masked) + 0.01).all()
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_padding_rows_are_ignored(problem, impl):
+    z, mu, lv, _, eidx = problem
+    pad = 73
+    mu_p = jnp.concatenate([mu, jnp.full((pad, D), 5.0)], axis=0)
+    eidx_p = jnp.concatenate([eidx, jnp.full((pad,), -2, jnp.int32)])
+    valid = jnp.concatenate([jnp.ones(N, bool), jnp.zeros(pad, bool)])
+    want = exemplar_log_prob(z, mu, lv, log_denom=0.0, impl="naive")
+    got = exemplar_log_prob(z, mu_p, lv, log_denom=0.0, exemplar_idx=eidx_p,
+                            valid=valid, impl=impl, block_n=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_gradients_match_autodiff_oracle(problem, impl):
+    z, mu, lv, didx, eidx = problem
+
+    def f_ours(z, mu, lv):
+        return jnp.sum(exemplar_log_prob(z, mu, lv, log_denom=0.0,
+                                         data_idx=didx, exemplar_idx=eidx,
+                                         impl=impl, block_n=128))
+
+    def f_oracle(z, mu, lv):
+        return jnp.sum(oracle(z, mu, lv, didx, eidx))
+
+    go = jax.grad(f_oracle, argnums=(0, 1, 2))(z, mu, lv)
+    gu = jax.grad(f_ours, argnums=(0, 1, 2))(z, mu, lv)
+    for a, b in zip(gu, go):
+        scale = np.maximum(np.max(np.abs(np.asarray(b))), 1.0)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=5e-3)
+
+
+def test_lse_combine_is_logaddexp(rng):
+    m1 = jnp.asarray(rng.normal(size=5), jnp.float32)
+    s1 = jnp.asarray(rng.uniform(0.1, 2, 5), jnp.float32)
+    m2 = jnp.asarray(rng.normal(size=5), jnp.float32)
+    s2 = jnp.asarray(rng.uniform(0.1, 2, 5), jnp.float32)
+    m, s = lse_combine(m1, s1, m2, s2)
+    got = np.asarray(m + jnp.log(s))
+    want = np.logaddexp(np.asarray(m1 + jnp.log(s1)),
+                        np.asarray(m2 + jnp.log(s2)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rows_variant_matches_full_when_support_is_full(problem):
+    """(B, K) per-row support with K=N rows == full-bank result."""
+    z, mu, lv, didx, eidx = problem
+    means_bk = jnp.broadcast_to(mu[None], (B, N, D))
+    eidx_bk = jnp.broadcast_to(eidx[None], (B, N))
+    got = rows_exemplar_log_prob(z, means_bk, lv, log_denom=jnp.log(float(N - 1)),
+                                 data_idx=didx, exemplar_idx_bk=eidx_bk)
+    want = oracle(z, mu, lv, didx, eidx, jnp.log(float(N - 1)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["scan", "pallas"])
+def test_ragged_sizes(impl):
+    """Non-tile-multiple B and N exercise the padding paths."""
+    for b, n in [(1, 1), (3, 5), (13, 129), (128, 2048 + 17)]:
+        z = jax.random.normal(jax.random.PRNGKey(b), (b, 40))
+        mu = jax.random.normal(jax.random.PRNGKey(n), (n, 40))
+        lv = jnp.float32(0.3)
+        want = exemplar_log_prob(z, mu, lv, log_denom=0.0, impl="naive")
+        got = exemplar_log_prob(z, mu, lv, log_denom=0.0, impl=impl,
+                                block_n=256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,0 +1,75 @@
+"""kNN cache selection + on-device preprocessing semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.ops.knn import encode_bank, knn_indices, pairwise_sq_dist
+from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+
+
+def test_knn_indices_match_numpy_oracle(rng):
+    q = jnp.asarray(rng.normal(size=(9, 16)), jnp.float32)
+    bank = jnp.asarray(rng.normal(size=(200, 16)), jnp.float32)
+    idx = np.asarray(knn_indices(q, bank, 5))
+    d = ((np.asarray(q)[:, None] - np.asarray(bank)[None]) ** 2).sum(-1)
+    want = np.argsort(d, axis=1)[:, :5]
+    # top-k ties can reorder; compare as sets of distances
+    got_d = np.take_along_axis(d, idx, axis=1)
+    want_d = np.take_along_axis(d, want, axis=1)
+    np.testing.assert_allclose(np.sort(got_d, 1), np.sort(want_d, 1),
+                               rtol=1e-4)
+
+
+def test_pairwise_sq_dist_nonnegative(rng):
+    q = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+    assert (np.asarray(pairwise_sq_dist(q, q)) >= 0).all()
+
+
+def test_encode_bank_chunking_equals_direct(rng):
+    cfg = Config(model_name="vae", hidden_size=16, z1_size=6)
+    m = create_model(cfg)
+    x = jnp.asarray(rng.random((37, 28, 28, 1)), jnp.float32)
+    k = jax.random.PRNGKey(0)
+    v = m.init(k, x[:2], k)
+    direct = m.apply(v, x, method="encode_top_mean")
+    chunked = encode_bank(m, v, x, chunk=8)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_binarization_fresh_per_key(rng):
+    x = jnp.full((4, 8, 8, 1), 0.5)
+    a = preprocess_batch(jax.random.PRNGKey(0), x, input_type="binary",
+                         dynamic_binarization=True, train=True)
+    b = preprocess_batch(jax.random.PRNGKey(1), x, input_type="binary",
+                         dynamic_binarization=True, train=True)
+    assert set(np.unique(np.asarray(a))) <= {0.0, 1.0}
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    # same key -> same sample (reproducibility)
+    a2 = preprocess_batch(jax.random.PRNGKey(0), x, input_type="binary",
+                          dynamic_binarization=True, train=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+
+
+def test_static_binary_passthrough():
+    x = jnp.asarray([[0.0, 1.0, 1.0, 0.0]]).reshape(1, 2, 2, 1)
+    out = preprocess_batch(jax.random.PRNGKey(0), x, input_type="binary",
+                           dynamic_binarization=False, train=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_uint8_dequantization():
+    x = (np.arange(16, dtype=np.uint8) * 16).reshape(1, 4, 4, 1)
+    tr = preprocess_batch(jax.random.PRNGKey(0), jnp.asarray(x),
+                          input_type="continuous", dynamic_binarization=False,
+                          train=True)
+    ev = preprocess_batch(jax.random.PRNGKey(0), jnp.asarray(x),
+                          input_type="continuous", dynamic_binarization=False,
+                          train=False)
+    tr, ev = np.asarray(tr), np.asarray(ev)
+    assert (tr >= x / 256.0).all() and (tr <= (x + 1.0) / 256.0).all()
+    np.testing.assert_allclose(ev, (x + 0.5) / 256.0, rtol=1e-6)
+    assert (tr != ev).any()  # train adds noise

@@ -1,0 +1,98 @@
+"""Model forward/generation shape + semantics tests for all 3 architectures
+x 3 priors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+
+MODELS = ["vae", "hvae_2level", "convhvae_2level"]
+PRIORS = ["standard", "vampprior", "exemplar_prior"]
+
+
+def _mk(model_name, prior, **kw):
+    cfg = Config(model_name=model_name, prior=prior, number_components=8,
+                 hidden_size=32, z1_size=10, z2_size=12, **kw)
+    m = create_model(cfg)
+    x = jnp.linspace(0, 1, 4 * 28 * 28).reshape(4, 28, 28, 1)
+    k = jax.random.PRNGKey(0)
+    return cfg, m, x, m.init(k, x, k)
+
+
+@pytest.mark.parametrize("model_name", MODELS)
+@pytest.mark.parametrize("prior", PRIORS)
+def test_forward_shapes(model_name, prior):
+    cfg, m, x, v = _mk(model_name, prior)
+    out = m.apply(v, x, jax.random.PRNGKey(1))
+    top = cfg.z1_size if model_name == "vae" else cfg.z2_size
+    assert out.z_top.shape == (4, top)
+    assert out.x_mean.shape == (4, 28, 28, 1)
+    assert out.extra_kl.shape == (4,)
+    if model_name == "vae":
+        assert np.allclose(np.asarray(out.extra_kl), 0.0)
+    probs = np.asarray(out.x_mean)
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+
+@pytest.mark.parametrize("model_name", MODELS)
+def test_encode_top_mean_matches_encode_top(model_name):
+    cfg, m, x, v = _mk(model_name, "exemplar_prior")
+    mean, _ = m.apply(v, x, method="encode_top")
+    mean2 = m.apply(v, x, method="encode_top_mean")
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean2))
+
+
+def test_q_logvar_clamped():
+    cfg, m, x, v = _mk("vae", "standard")
+    _, lv = m.apply(v, x * 1000.0, method="encode_top")
+    arr = np.asarray(lv)
+    assert (arr >= -6.0).all() and (arr <= 2.0).all()
+
+
+def test_continuous_decoder_has_logvar_head():
+    cfg = Config(model_name="vae", prior="standard", input_type="gray",
+                 hidden_size=32, dynamic_binarization=False)
+    m = create_model(cfg)
+    x = jnp.linspace(0, 1, 4 * 28 * 28).reshape(4, 28, 28, 1)
+    k = jax.random.PRNGKey(0)
+    v = m.init(k, x, k)
+    out = m.apply(v, x, k)
+    lv = np.asarray(out.x_logvar)
+    assert (lv >= -4.5).all() and (lv <= 0.0).all()
+    mean = np.asarray(out.x_mean)
+    assert (mean >= 1 / 512).all() and (mean <= 1 - 1 / 512).all()
+
+
+def test_exemplar_prior_param_exists_and_vamp_pseudo_inputs():
+    cfg, m, x, v = _mk("vae", "exemplar_prior")
+    assert v["params"]["prior_log_var"].shape == ()
+    cfg2, m2, x2, v2 = _mk("vae", "vampprior")
+    assert v2["params"]["pseudo_inputs"].shape == (8, 28, 28, 1)
+    u = m2.apply(v2, method="get_pseudo_inputs")
+    arr = np.asarray(u)
+    assert (arr >= 0).all() and (arr <= 1).all()
+
+
+def test_vamp_prior_log_prob_is_mixture():
+    cfg, m, x, v = _mk("vae", "vampprior")
+    z = jax.random.normal(jax.random.PRNGKey(3), (5, cfg.z1_size))
+    lp = m.apply(v, z, method="log_p_z_top")
+    # manual mixture
+    u = m.apply(v, method="get_pseudo_inputs")
+    mean, lv = m.apply(v, u, method="encode_top")
+    comp = -0.5 * (np.asarray(lv)[None] + (np.asarray(z)[:, None]
+                   - np.asarray(mean)[None]) ** 2 / np.exp(np.asarray(lv))[None])
+    want = (jax.scipy.special.logsumexp(jnp.asarray(comp.sum(-1)), axis=-1)
+            - jnp.log(8.0))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want), rtol=1e-5)
+
+
+def test_generate_from_top_deterministic_given_key():
+    cfg, m, x, v = _mk("hvae_2level", "standard")
+    z = jax.random.normal(jax.random.PRNGKey(4), (3, cfg.z2_size))
+    a = m.apply(v, z, jax.random.PRNGKey(5), method="generate_from_top")
+    b = m.apply(v, z, jax.random.PRNGKey(5), method="generate_from_top")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

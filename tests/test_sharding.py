@@ -1,0 +1,84 @@
+"""Mesh-sharded exemplar prior vs single-device oracle, values AND gradients,
+on the 8-virtual-CPU-device mesh (SURVEY.md §4 'multi-device tests')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.ops.exemplar_prior import exemplar_log_prob
+from exemplar_vae_tpu.ops.knn import encode_bank
+from exemplar_vae_tpu.parallel.mesh import create_mesh, pad_to_shards
+from exemplar_vae_tpu.parallel.sharded_prior import make_sharded_exact_prior
+from exemplar_vae_tpu.train.loss import Bank
+
+
+@pytest.fixture(scope="module")
+def setup(eight_devices):
+    cfg = Config(model_name="vae", mesh_shape=(8,), hidden_size=32,
+                 z1_size=8, use_pallas_prior=False, prior_block_n=64,
+                 exact_reencode_chunk=16)
+    mesh = create_mesh(cfg)
+    m = create_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (16, 28, 28, 1))
+    v = m.init(key, x, key)
+    n = 100  # NOT divisible by 8 -> exercises padded shards
+    bank_imgs = jax.random.uniform(jax.random.PRNGKey(1), (n, 28, 28, 1))
+    bi, _ = pad_to_shards(np.asarray(bank_imgs), mesh)
+    bidx = np.pad(np.arange(n, dtype=np.int32), (0, len(bi) - n),
+                  constant_values=-2)
+    bval = np.arange(len(bi)) < n
+    bank = Bank(jnp.asarray(bi), jnp.asarray(bidx), jnp.asarray(bval), None, n)
+    return cfg, mesh, m, v, bank_imgs, bank, n
+
+
+def test_sharded_matches_oracle_with_grads(setup):
+    cfg, mesh, m, v, bank_imgs, bank, n = setup
+    prior_fn = make_sharded_exact_prior(m, cfg, mesh)
+    z = jax.random.normal(jax.random.PRNGKey(2), (16, cfg.z1_size))
+    loo = jnp.arange(16, dtype=jnp.int32)
+    ld = jnp.log(float(n - 1))
+
+    def f(v, z):
+        return jnp.sum(prior_fn(v, z, loo, bank, ld))
+
+    def f_oracle(v, z):
+        means = encode_bank(m, v, bank_imgs, chunk=16)
+        return jnp.sum(exemplar_log_prob(
+            z, means, v["params"]["prior_log_var"], log_denom=ld,
+            data_idx=loo, exemplar_idx=jnp.arange(n, dtype=jnp.int32),
+            impl="naive"))
+
+    val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(v, z)
+    val_o, grads_o = jax.jit(jax.value_and_grad(f_oracle, argnums=(0, 1)))(v, z)
+    np.testing.assert_allclose(float(val), float(val_o), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(grads_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_end_to_end_sharded_equals_single_device_epoch(eight_devices, tmp_path):
+    """One epoch on the 8-device mesh == one epoch on 1 device, bitwise-ish.
+
+    Same seed, same data: the mesh only changes WHERE compute happens.
+    """
+    from exemplar_vae_tpu.train.trainer import Experiment
+    base = dict(dataset_name="synthetic", training_set_size=128,
+                val_set_size=64, test_set_size=32, number_components=128,
+                batch_size=32, warmup=2, epochs=1, S=2, MB=2,
+                test_batch_size=32, use_pallas_prior=False, prior_block_n=32,
+                exact_reencode_chunk=32, hidden_size=32, z1_size=8,
+                model_name="vae", prior="exemplar_prior",
+                snapshot_dir=str(tmp_path))
+    e1 = Experiment(Config(mesh_shape=(1,), **base), verbose=False)
+    m1 = e1.train_epoch()
+    e8 = Experiment(Config(mesh_shape=(8,), **base), verbose=False)
+    m8 = e8.train_epoch()
+    assert abs(m1["loss"] - m8["loss"]) < 1e-2, (m1["loss"], m8["loss"])
+    p1 = jax.tree.leaves(e1.state.params)
+    p8 = jax.tree.leaves(e8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

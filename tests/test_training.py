@@ -1,0 +1,111 @@
+"""Training-loop semantics: beta warm-up, ELBO improvement, early stopping,
+LOO denominator, cache staleness, checkpoint resume."""
+
+import copy
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.train.loss import Bank, bank_log_denom
+from exemplar_vae_tpu.train.trainer import Experiment, beta_schedule
+
+
+def _base(tmp_path, **kw):
+    d = dict(dataset_name="synthetic", training_set_size=256, val_set_size=64,
+             test_set_size=32, number_components=256, batch_size=64, warmup=2,
+             epochs=3, S=2, MB=2, test_batch_size=32, use_pallas_prior=False,
+             prior_block_n=64, exact_reencode_chunk=64, hidden_size=32,
+             z1_size=8, z2_size=8, snapshot_dir=str(tmp_path))
+    d.update(kw)
+    return Config(**d)
+
+
+def test_beta_schedule():
+    assert beta_schedule(1, 100) == 0.01
+    assert beta_schedule(100, 100) == 1.0
+    assert beta_schedule(500, 100) == 1.0
+    assert beta_schedule(3, 0) == 1.0
+
+
+def test_log_denom_loo_vs_eval():
+    bank = Bank(None, None, None, None, 100)
+    cfg = Config(prior="exemplar_prior")
+    assert float(bank_log_denom(cfg, bank, train=True)) == pytest.approx(
+        np.log(99.0))
+    assert float(bank_log_denom(cfg, bank, train=False)) == pytest.approx(
+        np.log(100.0))
+    cfg2 = Config(prior="exemplar_prior", no_mask=True)
+    assert float(bank_log_denom(cfg2, bank, train=True)) == pytest.approx(
+        np.log(100.0))
+
+
+def test_elbo_improves_over_epochs(tmp_path):
+    exp = Experiment(_base(tmp_path, model_name="vae",
+                           prior="exemplar_prior"), verbose=False)
+    losses = [exp.train_epoch()["loss"] for _ in range(3)]
+    assert losses[-1] < losses[0], losses
+
+
+def test_metrics_jsonl_written(tmp_path):
+    exp = Experiment(_base(tmp_path, epochs=1), verbose=False)
+    exp.run(max_epochs=1)
+    lines = [json.loads(l) for l in open(exp._metrics_path)]
+    assert any("val_loss" in l for l in lines)
+    assert any("final_test_nll" in l for l in lines)
+    assert os.path.exists(os.path.join(exp.exp_dir, "results.json"))
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = _base(tmp_path, epochs=2)
+    exp = Experiment(cfg, verbose=False)
+    exp.train_epoch()
+    exp.best_val = 123.0
+    exp.save_checkpoint()
+    params_before = jax.device_get(exp.state.params)
+
+    exp2 = Experiment(cfg, verbose=False)
+    assert exp2.restore_checkpoint()
+    assert exp2.epoch == 1 and exp2.best_val == 123.0
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(exp2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    exp2.train_epoch()
+    assert exp2.epoch == 2
+
+
+def test_approximate_cache_is_stale_by_one_epoch(tmp_path):
+    """The cache used in epoch e is encoded with params from the END of
+    epoch e-1 (SURVEY.md §3.5 staleness semantics)."""
+    cfg = _base(tmp_path, prior="exemplar_prior", approximate_prior=True,
+                approximate_k=4)
+    exp = Experiment(cfg, verbose=False)
+    params_e0 = jax.device_get(exp.state.params)
+    exp.train_epoch()
+    cache_e1 = np.asarray(exp.bank.cache_means)
+    # cache must equal an encode with the PRE-epoch params
+    key = jax.random.fold_in(jax.random.fold_in(exp.key, 1), 1)
+    want = exp.cache_refresh(params_e0, exp.bank.images, key)
+    np.testing.assert_allclose(cache_e1, np.asarray(want), atol=1e-6)
+
+
+def test_early_stopping_stops(tmp_path):
+    cfg = _base(tmp_path, epochs=50, warmup=0, early_stopping_epochs=2,
+                prior="standard", lr=0.0)  # lr=0 -> val loss never improves
+    exp = Experiment(cfg, verbose=False)
+    exp.run()
+    assert exp.epoch <= 5
+
+
+def test_reproducible_same_seed(tmp_path):
+    cfg = _base(tmp_path, epochs=1, prior="exemplar_prior")
+    a = Experiment(cfg, verbose=False)
+    ma = a.train_epoch()
+    b = Experiment(cfg, verbose=False)
+    mb = b.train_epoch()
+    assert ma["loss"] == pytest.approx(mb["loss"], rel=1e-6)
