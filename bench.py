@@ -41,7 +41,8 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
         warmup=100, S=8, MB=8,
         use_pallas_prior=jax.default_backend() == "tpu",
         prior_block_n=2048,
-        exact_reencode_chunk=8192,
+        exact_reencode_chunk=0,        # one giant bank GEMM (no chunk serialization)
+        compute_dtype="bfloat16",      # MXU-native; loss math stays fp32
         snapshot_dir="/tmp/bench_snap",
         seed=seed,
     )

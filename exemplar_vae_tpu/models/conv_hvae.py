@@ -26,19 +26,19 @@ from exemplar_vae_tpu.models.layers import (
     GatedConvTranspose2d,
     GatedDense,
     NonLinear,
-    hardtanh,
+    compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
 )
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
 
-def _enc_stack():
+def _enc_stack(dt):
     return [
-        GatedConv2d(32, (7, 7), (1, 1)),
-        GatedConv2d(32, (3, 3), (2, 2)),
-        GatedConv2d(64, (5, 5), (1, 1)),
-        GatedConv2d(64, (3, 3), (2, 2)),
+        GatedConv2d(32, (7, 7), (1, 1), dtype=dt),
+        GatedConv2d(32, (3, 3), (2, 2), dtype=dt),
+        GatedConv2d(64, (5, 5), (1, 1), dtype=dt),
+        GatedConv2d(64, (3, 3), (2, 2), dtype=dt),
     ]
 
 
@@ -48,36 +48,40 @@ class ConvHVAE(nn.Module, PriorMixin):
     def setup(self):
         cfg = self.cfg
         h = cfg.hidden_size
+        dt = compute_dtype(cfg)
         c_in, ih, iw = cfg.input_size
         assert ih % 4 == 0 and iw % 4 == 0, "ConvHVAE needs H, W divisible by 4"
         self._dec_hw = (ih // 4, iw // 4)
         # q(z2 | x)
-        self.q_z2_conv = _enc_stack()
-        self.q_z2_mean_head = nn.Dense(cfg.z2_size)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation)
+        self.q_z2_conv = _enc_stack(dt)
+        self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
+                                          dtype=dt)
         # q(z1 | x, z2)
-        self.q_z1_conv = _enc_stack()
-        self.q_z1_z2 = GatedDense(h)
-        self.q_z1_joint = GatedDense(h)
-        self.q_z1_mean_head = nn.Dense(cfg.z1_size)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        self.q_z1_conv = _enc_stack(dt)
+        self.q_z1_z2 = GatedDense(h, dtype=dt)
+        self.q_z1_joint = GatedDense(h, dtype=dt)
+        self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
         # p(z1 | z2)
-        self.p_z1_layers = [GatedDense(h), GatedDense(h)]
-        self.p_z1_mean_head = nn.Dense(cfg.z1_size)
-        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.p_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
         # p(x | z1, z2)
-        self.p_x_z1 = GatedDense(h)
-        self.p_x_z2 = GatedDense(h)
+        self.p_x_z1 = GatedDense(h, dtype=dt)
+        self.p_x_z2 = GatedDense(h, dtype=dt)
         dh, dw = self._dec_hw
-        self.p_x_project = nn.Dense(dh * dw * 64)
+        self.p_x_project = nn.Dense(dh * dw * 64, dtype=dt)
         self.p_x_deconv = [
-            GatedConvTranspose2d(64, (3, 3), (2, 2)),
-            GatedConvTranspose2d(32, (3, 3), (2, 2)),
-            GatedConv2d(32, (3, 3), (1, 1)),
+            GatedConvTranspose2d(64, (3, 3), (2, 2), dtype=dt),
+            GatedConvTranspose2d(32, (3, 3), (2, 2), dtype=dt),
+            GatedConv2d(32, (3, 3), (1, 1), dtype=dt),
         ]
-        self.p_x_mean_head = nn.Conv(c_in, (1, 1))
+        self.p_x_mean_head = nn.Conv(c_in, (1, 1), dtype=dt)
         if cfg.input_type != "binary":
-            self.p_x_logvar_head = nn.Conv(c_in, (1, 1))
+            self.p_x_logvar_head = nn.Conv(c_in, (1, 1), dtype=dt)
         self._setup_prior()
 
     # --- inference net ---
@@ -86,7 +90,8 @@ class ConvHVAE(nn.Module, PriorMixin):
         for layer in self.q_z2_conv:
             h = layer(h)
         h = h.reshape(h.shape[0], -1)
-        return self.q_z2_mean_head(h), self.q_z2_logvar_head(h)
+        return (self.q_z2_mean_head(h).astype(jnp.float32),
+                self.q_z2_logvar_head(h).astype(jnp.float32))
 
     def encode_top_mean(self, x):
         return self.encode_top(x)[0]
@@ -98,14 +103,16 @@ class ConvHVAE(nn.Module, PriorMixin):
         hx = h.reshape(h.shape[0], -1)
         hz = self.q_z1_z2(z2)
         h = self.q_z1_joint(jnp.concatenate([hx, hz], axis=-1))
-        return self.q_z1_mean_head(h), self.q_z1_logvar_head(h)
+        return (self.q_z1_mean_head(h).astype(jnp.float32),
+                self.q_z1_logvar_head(h).astype(jnp.float32))
 
     # --- generative net ---
     def p_z1(self, z2):
         h = z2
         for layer in self.p_z1_layers:
             h = layer(h)
-        return self.p_z1_mean_head(h), self.p_z1_logvar_head(h)
+        return (self.p_z1_mean_head(h).astype(jnp.float32),
+                self.p_z1_logvar_head(h).astype(jnp.float32))
 
     def decode(self, z1, z2):
         h1 = self.p_x_z1(z1)
@@ -115,12 +122,13 @@ class ConvHVAE(nn.Module, PriorMixin):
         h = h.reshape(h.shape[0], dh, dw, 64)
         for layer in self.p_x_deconv:
             h = layer(h)
-        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h))
+        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
         if self.cfg.input_type == "binary":
             x_logvar = jnp.zeros_like(x_mean)
         else:
             x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = p_logvar_activation(self.p_x_logvar_head(h))
+            x_logvar = p_logvar_activation(
+                self.p_x_logvar_head(h)).astype(jnp.float32)
         return x_mean, x_logvar
 
     def __call__(self, x, key):

@@ -17,6 +17,7 @@ from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
 from exemplar_vae_tpu.models.layers import (
     GatedDense,
     NonLinear,
+    compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
 )
@@ -29,27 +30,32 @@ class HVAE(nn.Module, PriorMixin):
     def setup(self):
         cfg = self.cfg
         h = cfg.hidden_size
+        dt = compute_dtype(cfg)
         # q(z2 | x)
-        self.q_z2_layers = [GatedDense(h), GatedDense(h)]
-        self.q_z2_mean_head = nn.Dense(cfg.z2_size)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation)
+        self.q_z2_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
+                                          dtype=dt)
         # q(z1 | x, z2)
-        self.q_z1_x = GatedDense(h)
-        self.q_z1_z2 = GatedDense(h)
-        self.q_z1_joint = GatedDense(h)
-        self.q_z1_mean_head = nn.Dense(cfg.z1_size)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        self.q_z1_x = GatedDense(h, dtype=dt)
+        self.q_z1_z2 = GatedDense(h, dtype=dt)
+        self.q_z1_joint = GatedDense(h, dtype=dt)
+        self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
         # p(z1 | z2)
-        self.p_z1_layers = [GatedDense(h), GatedDense(h)]
-        self.p_z1_mean_head = nn.Dense(cfg.z1_size)
-        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
+        self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.p_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
         # p(x | z1, z2)
-        self.p_x_z1 = GatedDense(h)
-        self.p_x_z2 = GatedDense(h)
-        self.p_x_joint = GatedDense(h)
-        self.p_x_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid)
+        self.p_x_z1 = GatedDense(h, dtype=dt)
+        self.p_x_z2 = GatedDense(h, dtype=dt)
+        self.p_x_joint = GatedDense(h, dtype=dt)
+        self.p_x_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid, dtype=dt)
         if cfg.input_type != "binary":
-            self.p_x_logvar_head = NonLinear(cfg.input_dim, p_logvar_activation)
+            self.p_x_logvar_head = NonLinear(cfg.input_dim,
+                                             p_logvar_activation, dtype=dt)
         self._setup_prior()
 
     # --- inference net ---
@@ -57,7 +63,8 @@ class HVAE(nn.Module, PriorMixin):
         h = x.reshape(x.shape[0], -1)
         for layer in self.q_z2_layers:
             h = layer(h)
-        return self.q_z2_mean_head(h), self.q_z2_logvar_head(h)
+        return (self.q_z2_mean_head(h).astype(jnp.float32),
+                self.q_z2_logvar_head(h).astype(jnp.float32))
 
     def encode_top_mean(self, x):
         return self.encode_top(x)[0]
@@ -66,25 +73,27 @@ class HVAE(nn.Module, PriorMixin):
         hx = self.q_z1_x(x.reshape(x.shape[0], -1))
         hz = self.q_z1_z2(z2)
         h = self.q_z1_joint(jnp.concatenate([hx, hz], axis=-1))
-        return self.q_z1_mean_head(h), self.q_z1_logvar_head(h)
+        return (self.q_z1_mean_head(h).astype(jnp.float32),
+                self.q_z1_logvar_head(h).astype(jnp.float32))
 
     # --- generative net ---
     def p_z1(self, z2):
         h = z2
         for layer in self.p_z1_layers:
             h = layer(h)
-        return self.p_z1_mean_head(h), self.p_z1_logvar_head(h)
+        return (self.p_z1_mean_head(h).astype(jnp.float32),
+                self.p_z1_logvar_head(h).astype(jnp.float32))
 
     def decode(self, z1, z2):
         h1 = self.p_x_z1(z1)
         h2 = self.p_x_z2(z2)
         h = self.p_x_joint(jnp.concatenate([h1, h2], axis=-1))
-        x_mean = self.p_x_mean_head(h)
+        x_mean = self.p_x_mean_head(h).astype(jnp.float32)
         if self.cfg.input_type == "binary":
             x_logvar = jnp.zeros_like(x_mean)
         else:
             x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = self.p_x_logvar_head(h)
+            x_logvar = self.p_x_logvar_head(h).astype(jnp.float32)
         shape = (z1.shape[0],) + tuple(self.cfg.input_size[1:]) + (self.cfg.input_size[0],)
         return x_mean.reshape(shape), x_logvar.reshape(shape)
 

@@ -8,13 +8,17 @@ log-var in [-4.5, 0] (SURVEY.md §0.2).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 he_init = nn.initializers.he_normal()
+
+# compute dtype contract: params are always fp32; `dtype` only sets the
+# matmul/conv compute precision (bfloat16 doubles MXU throughput). Loss
+# math and distribution heads are cast back to fp32 by the models.
 
 
 def hardtanh(x, min_val: float = -1.0, max_val: float = 1.0):
@@ -25,10 +29,11 @@ class NonLinear(nn.Module):
     """Linear layer with an optional activation (reference: utils/nn.py::NonLinear [U])."""
     features: int
     activation: Optional[Callable] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.features, kernel_init=he_init)(x)
+        h = nn.Dense(self.features, kernel_init=he_init, dtype=self.dtype)(x)
         if self.activation is not None:
             h = self.activation(h)
         return h
@@ -42,10 +47,12 @@ class GatedDense(nn.Module):
     """
     features: int
     activation: Optional[Callable] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        hg = nn.Dense(2 * self.features, kernel_init=he_init)(x)
+        hg = nn.Dense(2 * self.features, kernel_init=he_init,
+                      dtype=self.dtype)(x)
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)
@@ -61,11 +68,12 @@ class GatedConv2d(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     activation: Optional[Callable] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         hg = nn.Conv(2 * self.features, self.kernel_size, strides=self.strides,
-                     padding="SAME", kernel_init=he_init)(x)
+                     padding="SAME", kernel_init=he_init, dtype=self.dtype)(x)
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)
@@ -78,16 +86,22 @@ class GatedConvTranspose2d(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (2, 2)
     activation: Optional[Callable] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         hg = nn.ConvTranspose(2 * self.features, self.kernel_size,
                               strides=self.strides, padding="SAME",
-                              kernel_init=he_init)(x)
+                              kernel_init=he_init, dtype=self.dtype)(x)
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)
         return h * jax.nn.sigmoid(g)
+
+
+def compute_dtype(cfg) -> Any:
+    """cfg.compute_dtype -> flax layer dtype (None = fp32 everywhere)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
 def q_logvar_activation(x):

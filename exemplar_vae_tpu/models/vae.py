@@ -16,6 +16,7 @@ from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
 from exemplar_vae_tpu.models.layers import (
     GatedDense,
     NonLinear,
+    compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
 )
@@ -27,13 +28,15 @@ class VAE(nn.Module, PriorMixin):
     def setup(self):
         cfg = self.cfg
         h = cfg.hidden_size
-        self.q_layers = [GatedDense(h), GatedDense(h)]
-        self.q_mean_head = nn.Dense(cfg.z1_size)
-        self.q_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation)
-        self.p_layers = [GatedDense(h), GatedDense(h)]
-        self.p_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid)
+        dt = compute_dtype(cfg)
+        self.q_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.q_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.q_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation, dtype=dt)
+        self.p_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.p_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid, dtype=dt)
         if cfg.input_type != "binary":
-            self.p_logvar_head = NonLinear(cfg.input_dim, p_logvar_activation)
+            self.p_logvar_head = NonLinear(cfg.input_dim, p_logvar_activation,
+                                           dtype=dt)
         self._setup_prior()
 
     # --- inference net ---
@@ -41,7 +44,9 @@ class VAE(nn.Module, PriorMixin):
         h = x.reshape(x.shape[0], -1)
         for layer in self.q_layers:
             h = layer(h)
-        return self.q_mean_head(h), self.q_logvar_head(h)
+        # distribution parameters are always fp32 (loss-math contract)
+        return (self.q_mean_head(h).astype(jnp.float32),
+                self.q_logvar_head(h).astype(jnp.float32))
 
     def encode_top_mean(self, x):
         return self.encode_top(x)[0]
@@ -51,14 +56,14 @@ class VAE(nn.Module, PriorMixin):
         h = z
         for layer in self.p_layers:
             h = layer(h)
-        x_mean = self.p_mean_head(h)
+        x_mean = self.p_mean_head(h).astype(jnp.float32)
         if self.cfg.input_type == "binary":
             x_logvar = jnp.zeros_like(x_mean)
         else:
             # gray/continuous: clamp mean into [1/512, 1 - 1/512] like the
             # reference does for logistic-256 means [U]
             x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = self.p_logvar_head(h)
+            x_logvar = self.p_logvar_head(h).astype(jnp.float32)
         shape = (z.shape[0],) + tuple(self.cfg.input_size[1:]) + (self.cfg.input_size[0],)
         return x_mean.reshape(shape), x_logvar.reshape(shape)
 

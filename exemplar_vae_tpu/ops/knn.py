@@ -43,18 +43,22 @@ def encode_bank(model, variables, bank_images, *, chunk: int = 8192,
     Used both for the per-epoch cache refresh (stop-gradient, reference
     cache_z [U]) and for the exact-prior differentiable bank encode.
     With ``remat``, activations are rematerialized in the backward pass so
-    memory stays O(chunk) regardless of N.
+    memory stays O(chunk) regardless of N. ``chunk <= 0`` disables chunking:
+    one giant batched encode — best MXU utilization when memory allows
+    (a serialized lax.map leaves the MXU idle between chunks).
     """
     n = bank_images.shape[0]
+
+    def enc_direct(xc):
+        return model.apply(variables, xc, method="encode_top_mean")
+
+    if chunk is None or chunk <= 0 or chunk >= n:
+        f = jax.checkpoint(enc_direct) if remat else enc_direct
+        return f(bank_images)
     chunk = min(chunk, n)
     pad = (-n) % chunk
     imgs = jnp.pad(bank_images, ((0, pad),) + ((0, 0),) * (bank_images.ndim - 1))
-
-    def enc(xc):
-        return model.apply(variables, xc, method="encode_top_mean")
-
-    if remat:
-        enc = jax.checkpoint(enc)
+    enc = jax.checkpoint(enc_direct) if remat else enc_direct
     chunks = imgs.reshape((-1, chunk) + imgs.shape[1:])
     means = jax.lax.map(enc, chunks)
     return means.reshape(-1, means.shape[-1])[:n]

@@ -1,0 +1,64 @@
+"""Exemplar-guided augmentation classifier (SURVEY.md §3.4, C15)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.train.augment import (MLPClassifier, make_augment_fn,
+                                            train_classifier)
+from exemplar_vae_tpu.data import load_dataset
+
+
+@pytest.fixture(scope="module")
+def vae_setup():
+    cfg = Config(dataset_name="synthetic", model_name="vae",
+                 prior="exemplar_prior", hidden_size=32, z1_size=8,
+                 training_set_size=256, val_set_size=64, test_set_size=128)
+    splits, cfg = load_dataset(cfg)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jnp.asarray(splits.train_x[:2])
+    v = m.init(k, x, k)
+    return cfg, m, v["params"], splits
+
+
+def test_augment_fn_label_preserving_shape(vae_setup):
+    cfg, m, params, splits = vae_setup
+    aug = make_augment_fn(m, params, cfg)
+    x = jnp.asarray(splits.train_x[:6])
+    out = aug(jax.random.PRNGKey(1), x)
+    assert out.shape == x.shape
+    arr = np.asarray(out)
+    assert (arr >= 0).all() and (arr <= 1).all()
+    # conditioned on different exemplars -> different samples
+    assert not np.allclose(arr[0], arr[1])
+
+
+def test_classifier_learns_with_and_without_augmentation(vae_setup):
+    cfg, m, params, splits = vae_setup
+    r_plain = train_classifier(m, params, cfg, splits, epochs=8,
+                               augment=False, seed=1)
+    assert r_plain.test_error < 0.5  # 10 classes, random = 0.9
+    r_aug = train_classifier(m, params, cfg, splits, epochs=8, pi=0.3,
+                             augment=True, seed=1)
+    assert r_aug.test_error < 0.7
+    assert np.isfinite(r_aug.history).all()
+
+
+def test_classifier_requires_labels(vae_setup):
+    cfg, m, params, splits = vae_setup
+    splits2 = splits._replace(train_labels=None)
+    with pytest.raises(ValueError):
+        train_classifier(m, params, cfg, splits2)
+
+
+def test_mlp_classifier_shapes():
+    clf = MLPClassifier(n_classes=10, hidden=32)
+    k = jax.random.PRNGKey(0)
+    x = jnp.zeros((4, 28, 28, 1))
+    v = clf.init(k, x)
+    logits = clf.apply(v, x)
+    assert logits.shape == (4, 10)

@@ -96,3 +96,24 @@ def test_generate_from_top_deterministic_given_key():
     a = m.apply(v, z, jax.random.PRNGKey(5), method="generate_from_top")
     b = m.apply(v, z, jax.random.PRNGKey(5), method="generate_from_top")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bfloat16_compute_close_to_fp32():
+    """bf16 matmul path: same params, outputs within bf16 tolerance of fp32
+    (loss math / distribution params stay fp32 by contract)."""
+    import jax.numpy as jnp
+    cfg32 = Config(model_name="vae", prior="exemplar_prior", hidden_size=32,
+                   z1_size=8)
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    m32, m16 = create_model(cfg32), create_model(cfg16)
+    k = jax.random.PRNGKey(0)
+    x = jnp.linspace(0, 1, 4 * 28 * 28).reshape(4, 28, 28, 1)
+    v = m32.init(k, x, k)  # same param pytree shape for both
+    o32 = m32.apply(v, x, k)
+    o16 = m16.apply(v, x, k)
+    assert o16.q_mean.dtype == jnp.float32  # heads cast back to fp32
+    assert o16.x_mean.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o16.q_mean), np.asarray(o32.q_mean),
+                               atol=0.15)
+    np.testing.assert_allclose(np.asarray(o16.x_mean), np.asarray(o32.x_mean),
+                               atol=0.05)
