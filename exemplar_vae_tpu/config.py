@@ -70,6 +70,8 @@ class Config:
     test_set_size: int = 10_000
     checkpoint_every: int = 0            # epochs; 0 = only best/final
     resume: bool = False
+    debug_nans: bool = False             # NaN sanitizer (jax_debug_nans)
+    profile_epoch: int = 0               # capture a jax.profiler trace of this epoch
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -93,6 +95,7 @@ class Config:
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
         "prior_block_n", "exact_reencode_chunk", "donate_state",
         "data_dir", "snapshot_dir", "checkpoint_every", "resume",
+        "debug_nans", "profile_epoch",
     })
 
     def experiment_name(self) -> str:
@@ -167,6 +170,10 @@ def reference_arg_parser():
     p.add_argument("--snapshot_dir", type=str, default=d.snapshot_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="raise at the op producing any NaN inside jit")
+    p.add_argument("--profile_epoch", type=int, default=0,
+                   help="capture a jax.profiler trace of this epoch")
     return p
 
 
@@ -201,6 +208,8 @@ def config_from_args(ns) -> Config:
         snapshot_dir=ns.snapshot_dir,
         checkpoint_every=ns.checkpoint_every,
         resume=ns.resume,
+        debug_nans=ns.debug_nans,
+        profile_epoch=ns.profile_epoch,
     )
     if ns.mesh is not None:
         kw["mesh_shape"] = tuple(int(x) for x in ns.mesh.split(","))

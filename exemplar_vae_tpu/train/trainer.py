@@ -58,6 +58,9 @@ class Experiment:
         self.splits, self.cfg = load_dataset(cfg)
         cfg = self.cfg
         self.verbose = verbose
+        if cfg.debug_nans:
+            from exemplar_vae_tpu.train.profiling import nan_debug
+            nan_debug(True)
         self.mesh = create_mesh(cfg)
         self.multi = self.mesh.devices.size > 1
         self.model = create_model(cfg)
@@ -167,9 +170,17 @@ class Experiment:
                                      steps=self.steps_per_epoch,
                                      batch=cfg.batch_size)
         t0 = time.perf_counter()
-        self.state, metrics = self.epoch_fn(self.state, ex, eidx, bank,
-                                            jax.random.fold_in(ekey, 3),
-                                            jnp.float32(beta))
+        if cfg.profile_epoch and self.epoch == cfg.profile_epoch:
+            from exemplar_vae_tpu.train.profiling import trace
+            with trace(os.path.join(self.exp_dir, "profile")):
+                self.state, metrics = self.epoch_fn(
+                    self.state, ex, eidx, bank,
+                    jax.random.fold_in(ekey, 3), jnp.float32(beta))
+                jax.block_until_ready(self.state.params)
+        else:
+            self.state, metrics = self.epoch_fn(self.state, ex, eidx, bank,
+                                                jax.random.fold_in(ekey, 3),
+                                                jnp.float32(beta))
         metrics = jax.tree.map(float, jax.device_get(metrics))
         dt = time.perf_counter() - t0
         metrics.update(epoch=self.epoch, beta=beta, epoch_seconds=dt,
