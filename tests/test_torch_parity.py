@@ -1,0 +1,130 @@
+"""Full-objective parity against an independent torch re-expression.
+
+SURVEY.md appendix: torch-cpu is in the image precisely so the rebuild can
+cross-check numerics without the (empty) reference mount. This test builds a
+torch VAE with the SAME weights as the flax model, feeds the SAME inputs and
+the SAME Gaussian noise, and computes the full exemplar-prior training
+objective (encoder -> reparameterize -> decoder -> Bernoulli RE -> log q ->
+exact exemplar prior with LOO mask and N-1 denominator) completely
+independently. Agreement here pins down every parity-critical convention at
+once (SURVEY.md §7.3 item 2)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.ops.knn import encode_bank
+from exemplar_vae_tpu.train.loss import Bank, batch_loss
+
+torch = pytest.importorskip("torch")
+
+B, N, H, Z = 16, 120, 48, 12
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = Config(model_name="vae", prior="exemplar_prior", hidden_size=H,
+                 z1_size=Z, number_components=N, use_pallas_prior=False,
+                 prior_block_n=32, exact_reencode_chunk=32,
+                 prior_variance_init=0.8)
+    m = create_model(cfg)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(1)
+    x = (rng.random((B, 28, 28, 1)) < 0.4).astype(np.float32)
+    bank = (rng.random((N, 28, 28, 1)) < 0.4).astype(np.float32)
+    v = m.init(key, jnp.asarray(x), key)
+    eps = rng.normal(size=(B, Z)).astype(np.float32)
+    didx = np.arange(B, dtype=np.int32) * 3  # batch points are in the bank
+    return cfg, m, v, x, bank, eps, didx
+
+
+def torch_gated(x, kernel, bias):
+    """Our fused GatedDense: Dense(2f) -> split -> h * sigmoid(g)."""
+    w = torch.tensor(np.asarray(kernel))
+    b = torch.tensor(np.asarray(bias))
+    hg = x @ w + b
+    h, g = hg.chunk(2, dim=-1)
+    return h * torch.sigmoid(g)
+
+
+def torch_dense(x, kernel, bias):
+    return x @ torch.tensor(np.asarray(kernel)) + torch.tensor(np.asarray(bias))
+
+
+def torch_objective(params, x, bank, eps, didx, beta=1.0):
+    """Reference objective re-expressed in torch from SURVEY.md §0.1."""
+    p = params
+
+    def encode(xf):
+        h = torch_gated(xf, p["q_layers_0"]["Dense_0"]["kernel"],
+                        p["q_layers_0"]["Dense_0"]["bias"])
+        h = torch_gated(h, p["q_layers_1"]["Dense_0"]["kernel"],
+                        p["q_layers_1"]["Dense_0"]["bias"])
+        mean = torch_dense(h, p["q_mean_head"]["kernel"],
+                           p["q_mean_head"]["bias"])
+        logvar = torch_dense(h, p["q_logvar_head"]["Dense_0"]["kernel"],
+                             p["q_logvar_head"]["Dense_0"]["bias"])
+        return mean, torch.clamp(logvar, -6.0, 2.0)
+
+    xf = torch.tensor(x.reshape(B, -1))
+    q_mean, q_logvar = encode(xf)
+    z = q_mean + torch.exp(0.5 * q_logvar) * torch.tensor(eps)
+
+    h = torch_gated(z, p["p_layers_0"]["Dense_0"]["kernel"],
+                    p["p_layers_0"]["Dense_0"]["bias"])
+    h = torch_gated(h, p["p_layers_1"]["Dense_0"]["kernel"],
+                    p["p_layers_1"]["Dense_0"]["bias"])
+    probs = torch.sigmoid(torch_dense(h, p["p_mean_head"]["Dense_0"]["kernel"],
+                                      p["p_mean_head"]["Dense_0"]["bias"]))
+    probs = probs.clamp(1e-5, 1 - 1e-5)
+    re = (xf * probs.log() + (1 - xf) * (1 - probs).log()).sum(-1)
+
+    log_q = (-0.5 * (q_logvar + (z - q_mean) ** 2 / q_logvar.exp())).sum(-1)
+
+    bank_mean, _ = encode(torch.tensor(bank.reshape(N, -1)))
+    lv = torch.tensor(np.asarray(p["prior_log_var"]))
+    sq = torch.cdist(z, bank_mean) ** 2
+    logits = -0.5 * (Z * lv + sq * torch.exp(-lv))
+    mask = torch.tensor(didx)[:, None] == torch.arange(N)[None, :]
+    logits = logits.masked_fill(mask, -float("inf"))
+    log_p = torch.logsumexp(logits, dim=-1) - math.log(N - 1)
+
+    kl = log_q - log_p
+    return (-re + beta * kl).mean()
+
+
+@pytest.mark.parametrize("impl", ["naive", "scan", "pallas"])
+def test_full_exemplar_elbo_matches_torch(problem, impl):
+    cfg, m, v, x, bank_imgs, eps, didx = problem
+    cfg = cfg.replace(use_pallas_prior=(impl == "pallas"))
+    if impl == "scan":
+        cfg = cfg.replace(use_pallas_prior=False)
+
+    # ours — inject the same eps by monkeypatching the sampling key path:
+    # easier: compute loss manually from elbo pieces with fixed z
+    from exemplar_vae_tpu.models.base import reconstruction_log_lik
+    from exemplar_vae_tpu.ops.distributions import log_normal_diag
+
+    variables = v
+    q_mean, q_logvar = m.apply(variables, jnp.asarray(x), method="encode_top")
+    z = q_mean + jnp.exp(0.5 * q_logvar) * jnp.asarray(eps)
+    x_mean, x_logvar = m.apply(variables, z, method="decode")
+    re = reconstruction_log_lik(jnp.asarray(x), x_mean, x_logvar, "binary")
+    log_q = log_normal_diag(z, q_mean, q_logvar)
+    means = encode_bank(m, variables, jnp.asarray(bank_imgs), chunk=32)
+    log_p = m.apply(variables, z, bank_means=means,
+                    data_idx=jnp.asarray(didx),
+                    exemplar_idx=jnp.arange(N, dtype=jnp.int32),
+                    log_denom=math.log(N - 1),
+                    impl=impl, block_n=cfg.prior_block_n,
+                    method="log_p_z_top")
+    ours = float(jnp.mean(-re + (log_q - log_p)))
+
+    want = float(torch_objective(
+        jax.tree.map(np.asarray, v["params"]), x, bank_imgs, eps, didx))
+    assert ours == pytest.approx(want, rel=2e-5, abs=2e-3), (ours, want)
