@@ -70,7 +70,13 @@ def _open_maybe_gz(path):
 
 
 def _read_idx(path):
-    """Parse an IDX (MNIST-style) file."""
+    """Parse an IDX (MNIST-style) file — native C++ fast path, python
+    fallback (data/native_ingest.py)."""
+    if not path.endswith(".gz"):
+        from exemplar_vae_tpu.data.native_ingest import load_idx
+        arr = load_idx(path)
+        if arr is not None:
+            return arr
     with _open_maybe_gz(path) as f:
         data = f.read()
     magic, = struct.unpack(">I", data[:4])
@@ -115,9 +121,10 @@ def _load_static_mnist(data_dir):
              for s in ("train", "valid", "test")]
     if not all(os.path.exists(p) for p in paths):
         return None
+    from exemplar_vae_tpu.data.native_ingest import load_amat
     outs = []
     for p in paths:
-        arr = np.loadtxt(p, dtype=np.float32)
+        arr = load_amat(p, n_cols=784)  # C++ streaming parser, numpy fallback
         outs.append(arr.reshape(-1, 28, 28, 1))
     return outs
 

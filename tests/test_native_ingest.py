@@ -1,0 +1,78 @@
+"""Native C++ ingest vs numpy oracles (and the lazy-compile path)."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.data import native_ingest
+from exemplar_vae_tpu.data.loaders import _read_idx
+
+
+@pytest.fixture(scope="module")
+def amat_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    arr = (rng.random((37, 784)) < 0.3).astype(np.float32)
+    p = tmp_path_factory.mktemp("amat") / "binarized_mnist_test.amat"
+    with open(p, "w") as f:
+        for row in arr:
+            f.write(" ".join("1" if v else "0" for v in row) + " \n")
+    return str(p), arr
+
+
+def _write_idx(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def test_amat_native_matches_numpy(amat_file):
+    path, want = amat_file
+    got = native_ingest.load_amat(path, n_cols=784)
+    np.testing.assert_array_equal(got, want)
+    # numpy oracle agreement
+    oracle = np.loadtxt(path, dtype=np.float32).reshape(-1, 784)
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_amat_float_tokens(tmp_path):
+    p = tmp_path / "f.amat"
+    with open(p, "w") as f:
+        f.write("0.5 1 0.25\n0 0.125 1\n")
+    got = native_ingest.load_amat(str(p), n_cols=3)
+    np.testing.assert_allclose(got, [[0.5, 1, 0.25], [0, 0.125, 1]])
+
+
+def test_idx_native_and_gz_fallback(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (11, 28, 28), dtype=np.uint8)
+    p = tmp_path / "images-idx3-ubyte"
+    _write_idx(p, arr)
+    got = _read_idx(str(p))
+    np.testing.assert_array_equal(got, arr)
+    # gz path goes through the python parser
+    pg = tmp_path / "images-idx3-ubyte.gz"
+    with gzip.open(pg, "wb") as f, open(p, "rb") as src:
+        f.write(src.read())
+    got_gz = _read_idx(str(pg))
+    np.testing.assert_array_equal(got_gz, arr)
+
+
+def test_static_mnist_loader_uses_amat(tmp_path, monkeypatch):
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.data.loaders import load_dataset
+    rng = np.random.default_rng(2)
+    for split, n in [("train", 40), ("valid", 10), ("test", 10)]:
+        arr = (rng.random((n, 784)) < 0.3).astype(int)
+        with open(tmp_path / f"binarized_mnist_{split}.amat", "w") as f:
+            for row in arr:
+                f.write(" ".join(str(v) for v in row) + "\n")
+    cfg = Config(dataset_name="static_mnist", data_dir=str(tmp_path))
+    ds, cfg2 = load_dataset(cfg)
+    assert ds.source == "real"
+    assert ds.train_x.shape == (40, 28, 28, 1)
+    assert set(np.unique(ds.train_x)) <= {0.0, 1.0}
