@@ -57,11 +57,16 @@ def bank_log_denom(cfg: Config, bank: Bank, train: bool):
 
 
 def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
-                            data_idx, train: bool, sharded_exact_fn=None):
+                            data_idx, train: bool, sharded_exact_fn=None,
+                            sharded_approx_fn=None):
     """log p(z_top | exemplar bank) for the three support-resolution modes."""
     log_denom = bank_log_denom(cfg, bank, train)
     loo_idx = data_idx if (train and cfg.loo_mask_enabled) else None
     impl = "pallas" if cfg.use_pallas_prior else "scan"
+
+    if train and cfg.approximate_prior and sharded_approx_fn is not None:
+        # sharded cache + bank (parallel/sharded_knn.py)
+        return sharded_approx_fn(variables, out, bank, loo_idx, log_denom)
 
     if train and cfg.approximate_prior:
         # kNN over the stale cache, fresh differentiable re-encode of K
@@ -98,7 +103,7 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
 
 def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
                bank: Optional[Bank] = None, train: bool = True,
-               sharded_exact_fn=None):
+               sharded_exact_fn=None, sharded_approx_fn=None):
     """One forward pass -> per-example (RE, KL).
 
     The IWAE importance weight is ``RE - KL`` with these sampled terms
@@ -109,7 +114,8 @@ def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
     log_q = log_normal_diag(out.z_top, out.q_mean, out.q_logvar)
     if cfg.prior == "exemplar_prior":
         log_p = exemplar_prior_log_prob(model, variables, out, cfg, bank,
-                                        data_idx, train, sharded_exact_fn)
+                                        data_idx, train, sharded_exact_fn,
+                                        sharded_approx_fn)
     else:
         log_p = model.apply(variables, out.z_top, method="log_p_z_top")
     kl = log_q - log_p + out.extra_kl
@@ -117,10 +123,12 @@ def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
 
 
 def batch_loss(model, variables, x, key, beta, cfg: Config, *, data_idx=None,
-               bank=None, train=True, sharded_exact_fn=None):
+               bank=None, train=True, sharded_exact_fn=None,
+               sharded_approx_fn=None):
     """Scalar loss + aux metrics (reference: calculate_loss averaged [U])."""
     re, kl, _ = elbo_terms(model, variables, x, key, cfg, data_idx=data_idx,
                            bank=bank, train=train,
-                           sharded_exact_fn=sharded_exact_fn)
+                           sharded_exact_fn=sharded_exact_fn,
+                           sharded_approx_fn=sharded_approx_fn)
     loss = jnp.mean(-re + beta * kl)
     return loss, {"re": jnp.mean(-re), "kl": jnp.mean(kl), "loss": loss}

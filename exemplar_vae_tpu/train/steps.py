@@ -52,7 +52,7 @@ def _preprocess_bank(key, bank: Bank, cfg: Config) -> Bank:
 
 
 def make_train_step(model, tx, cfg: Config, sharded_exact_fn=None,
-                    bank_preprocessed: bool = False):
+                    sharded_approx_fn=None, bank_preprocessed: bool = False):
     """Pure (state, x, idx, bank, key, beta) -> (state, metrics).
 
     With ``bank_preprocessed`` the caller binarized/dequantized the bank
@@ -72,7 +72,8 @@ def make_train_step(model, tx, cfg: Config, sharded_exact_fn=None,
         def loss_fn(params):
             return batch_loss(model, {"params": params}, x, k_z, beta, cfg,
                               data_idx=data_idx, bank=bank, train=True,
-                              sharded_exact_fn=sharded_exact_fn)
+                              sharded_exact_fn=sharded_exact_fn,
+                              sharded_approx_fn=sharded_approx_fn)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -83,14 +84,14 @@ def make_train_step(model, tx, cfg: Config, sharded_exact_fn=None,
 
 
 def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
-                  donate: bool = True):
+                  sharded_approx_fn=None, donate: bool = True):
     """One compiled epoch: scan the train step over (S, B, ...) batches.
 
     epoch_x / epoch_idx are the epoch's permuted batches, device-resident.
     Returns (new_state, mean metrics over the epoch).
     """
     train_step = make_train_step(model, tx, cfg, sharded_exact_fn,
-                                 bank_preprocessed=True)
+                                 sharded_approx_fn, bank_preprocessed=True)
 
     def epoch_fn(state, epoch_x, epoch_idx, bank, key, beta):
         steps = epoch_x.shape[0]

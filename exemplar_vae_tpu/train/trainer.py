@@ -77,6 +77,8 @@ class Experiment:
         # --- exemplar bank (first number_components training points) ---
         self.bank = None
         self.sharded_exact_fn = None
+        self.sharded_approx_fn = None
+        self._sharded_cache_refresh = None
         if cfg.prior == "exemplar_prior":
             n_ex = min(cfg.number_components, self.n_train)
             imgs = np.asarray(self.splits.train_x[:n_ex])
@@ -90,10 +92,10 @@ class Experiment:
             cache = None
             if cfg.approximate_prior:
                 top = cfg.z1_size if cfg.model_name.lower() == "vae" else cfg.z2_size
-                # approx mode keeps bank+cache replicated (SURVEY round-1
-                # scoping; MNIST-scale banks are ~150 MB)
-                shard = repl
-                cache = jax.device_put(np.zeros((len(imgs), top), np.float32), repl)
+                # cache is sharded alongside the bank on a mesh, replicated
+                # on a single chip
+                cache = jax.device_put(np.zeros((len(imgs), top), np.float32),
+                                       shard)
             self.bank = Bank(
                 images=jax.device_put(imgs, shard),
                 data_idx=jax.device_put(idxs, shard),
@@ -104,13 +106,22 @@ class Experiment:
             if self.multi and not cfg.approximate_prior:
                 self.sharded_exact_fn = make_sharded_exact_prior(
                     self.model, cfg, self.mesh)
+            if self.multi and cfg.approximate_prior:
+                from exemplar_vae_tpu.parallel.sharded_knn import (
+                    make_sharded_approx_prior, make_sharded_cache_refresh)
+                self.sharded_approx_fn = make_sharded_approx_prior(
+                    self.model, cfg, self.mesh)
+                self._sharded_cache_refresh = make_sharded_cache_refresh(
+                    self.model, cfg, self.mesh)
 
         # --- compiled functions ---
         self.epoch_fn = make_epoch_fn(self.model, self.tx, cfg,
                                       self.sharded_exact_fn,
+                                      self.sharded_approx_fn,
                                       donate=cfg.donate_state)
-        self.cache_refresh = (make_cache_refresh(self.model, cfg)
-                              if cfg.approximate_prior else None)
+        self.cache_refresh = (
+            self._sharded_cache_refresh or make_cache_refresh(self.model, cfg)
+            if cfg.approximate_prior else None)
         self.build_eval_bank = make_eval_bank_fn(self.model, cfg)
         self.elbo_eval = make_elbo_eval_fn(self.model, cfg)
         self.iwae = make_iwae_fn(self.model, cfg)
