@@ -1,0 +1,107 @@
+"""Per-config benchmark suite over BASELINE.json's five configs.
+
+``bench.py`` keeps the driver's one-JSON-line contract; this script measures
+every config (synthetic data at the real shapes/sizes — the image has no
+dataset files) and writes ``BENCH_extra.json`` with throughput + KPI rows
+for BASELINE.md's measured columns.
+
+    /opt/venv/bin/python bench_all.py [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def measure(cfg_kw, timed_steps, label):
+    import jax
+    import jax.numpy as jnp
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+
+    cfg = Config(snapshot_dir="/tmp/bench_all_snap", **cfg_kw)
+    exp = Experiment(cfg, verbose=False)
+    steps = min(timed_steps, exp.steps_per_epoch)
+    ekey = jax.random.fold_in(exp.key, 1)
+    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
+                                steps=steps, batch=cfg.batch_size)
+    beta = jnp.float32(1.0)
+    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    jax.block_until_ready(st.params)
+    t0 = time.perf_counter()
+    st, m = exp.epoch_fn(st, ex, eidx, exp.bank,
+                         jax.random.fold_in(ekey, 2), beta)
+    jax.block_until_ready(st.params)
+    dt = time.perf_counter() - t0
+    ips = steps * cfg.batch_size / dt
+    n_ex = cfg.number_components if cfg.prior == "exemplar_prior" else 0
+    dps = ips * (cfg.approximate_k if cfg.approximate_prior else n_ex)
+    row = {
+        "config": label,
+        "images_per_sec_per_chip": round(ips, 1),
+        "ms_per_step": round(dt / steps * 1e3, 3),
+        "exemplar_distances_per_sec": None if not n_ex else round(dps),
+        "loss": round(float(m["loss"]), 2),
+        "batch": cfg.batch_size,
+        "n_exemplars": n_ex,
+        "dtype": cfg.compute_dtype,
+    }
+    print(f"[bench_all] {label}: {row['images_per_sec_per_chip']} img/s "
+          f"({row['ms_per_step']} ms/step)", file=sys.stderr, flush=True)
+    return row
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true")
+    ns = p.parse_args(argv)
+    scale = 0.1 if ns.fast else 1.0
+    n50 = max(int(50_000 * scale), 2000)
+    n200 = max(int(200_000 * scale), 4000)
+    steps = 20 if ns.fast else 100
+    common = dict(dataset_name="synthetic", val_set_size=256,
+                  test_set_size=256, batch_size=100, warmup=100, S=2, MB=2,
+                  compute_dtype="bfloat16", exact_reencode_chunk=0)
+    configs = [
+        ("1: VAE dynamic-MNIST-shaped, full exact exemplar prior",
+         dict(model_name="vae", prior="exemplar_prior",
+              number_components=n50, training_set_size=n50, **common)),
+        ("2a: HVAE static-MNIST-shaped, full exact exemplar prior",
+         dict(model_name="hvae_2level", prior="exemplar_prior",
+              number_components=n50, training_set_size=n50, **common)),
+        ("3: ConvHVAE Fashion-shaped, approximate-kNN exemplar prior",
+         dict(model_name="convhvae_2level", prior="exemplar_prior",
+              approximate_prior=True, approximate_k=10,
+              number_components=n50, training_set_size=n50,
+              dataset_name="synthetic_gray",
+              **{k: v for k, v in common.items() if k != "dataset_name"})),
+        ("4: ConvHVAE CelebA-shaped (3x64x64 continuous), exact exemplar "
+         "prior, chunked bank re-encode",
+         dict(model_name="convhvae_2level", prior="exemplar_prior",
+              number_components=n200, training_set_size=n200,
+              dataset_name="synthetic_continuous",
+              **{k: v for k, v in common.items()
+                 if k not in ("dataset_name", "exact_reencode_chunk")},
+              exact_reencode_chunk=4096)),
+        ("5: vamp-prior VAE (pseudo-input mixture) — comparison row",
+         dict(model_name="vae", prior="vampprior", number_components=500,
+              training_set_size=n50, **common)),
+    ]
+    rows = []
+    for label, kw in configs:
+        try:
+            rows.append(measure(kw, steps, label))
+        except Exception as e:  # keep the suite going; record the failure
+            rows.append({"config": label, "error": repr(e)[:300]})
+            print(f"[bench_all] {label} FAILED: {e}", file=sys.stderr)
+    out = {"rows": rows, "fast": ns.fast}
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

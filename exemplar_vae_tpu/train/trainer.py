@@ -137,6 +137,19 @@ class Experiment:
         self.state = jax.device_put(
             init_train_state(self.model, self.tx, cfg,
                              jax.random.fold_in(self.key, 0)), repl)
+        if cfg.prior == "vampprior" and cfg.use_training_data_init:
+            # reference: add_pseudoinputs(use_training_data_init) seeds the
+            # pseudo-inputs with the first C training points [U]
+            c = cfg.number_components
+            seed_imgs = np.asarray(self.splits.train_x[:c], np.float32)
+            if seed_imgs.shape[0] < c:
+                reps = -(-c // seed_imgs.shape[0])
+                seed_imgs = np.tile(seed_imgs, (reps, 1, 1, 1))[:c]
+            if self.splits.train_x.dtype == np.uint8:
+                seed_imgs = seed_imgs / 255.0
+            params = dict(self.state.params)
+            params["pseudo_inputs"] = jax.device_put(seed_imgs, repl)
+            self.state = self.state._replace(params=params)
         self.epoch = 0
         self.best_val = float("inf")
         # host copy: the live state buffers get donated by epoch_fn

@@ -109,3 +109,14 @@ def test_reproducible_same_seed(tmp_path):
     b = Experiment(cfg, verbose=False)
     mb = b.train_epoch()
     assert ma["loss"] == pytest.approx(mb["loss"], rel=1e-6)
+
+
+def test_vamp_use_training_data_init(tmp_path):
+    """--use_training_data_init seeds pseudo-inputs from training points."""
+    cfg = _base(tmp_path, prior="vampprior", number_components=16,
+                use_training_data_init=True)
+    exp = Experiment(cfg, verbose=False)
+    got = np.asarray(exp.state.params["pseudo_inputs"])
+    want = np.asarray(exp.splits.train_x[:16], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    exp.train_epoch()  # still trains
