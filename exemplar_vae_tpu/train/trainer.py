@@ -292,7 +292,19 @@ class Experiment:
                 self.model, params, cfg, jax.random.fold_in(key, 12), refs,
                 n_per_ref=5)
             plots.save_grid(np.asarray(neigh), os.path.join(
-                self.exp_dir, "exemplar_neighborhoods.png"))
+                self.exp_dir, "exemplar_neighborhoods.png"), ncol=5)
+            if eval_bank is not None and eval_bank.cache_means is not None:
+                # latent-space kNN retrieval demo (SURVEY.md §0.4)
+                _, imgs = sampling.latent_neighbors(
+                    self.model, params, cfg, self.splits.test_x[:5],
+                    self.bank.images, eval_bank.cache_means, 5,
+                    jax.random.fold_in(key, 13))
+                flat = np.asarray(imgs, np.float32).reshape(
+                    (-1,) + imgs.shape[2:])
+                if flat.max() > 1.5:  # uint8 bank
+                    flat = flat / 255.0
+                plots.save_grid(flat, os.path.join(
+                    self.exp_dir, "latent_knn_retrieval.png"), ncol=5)
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: str = "last"):
