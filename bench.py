@@ -42,6 +42,7 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
         use_pallas_prior=jax.default_backend() == "tpu",
         prior_block_n=2048,
         exact_reencode_chunk=0,        # one giant bank GEMM (no chunk serialization)
+        exact_remat=False,             # keep bank activations (fits at MLP-50k scale)
         compute_dtype="bfloat16",      # MXU-native; loss math stays fp32
         snapshot_dir="/tmp/bench_snap",
         seed=seed,

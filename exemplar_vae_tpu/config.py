@@ -60,6 +60,7 @@ class Config:
     use_pallas_prior: bool = True        # tiled Pallas pairwise-LSE kernel
     prior_block_n: int = 2048            # exemplar-axis tile for blockwise prior
     exact_reencode_chunk: int = 8192     # bank re-encode chunk (memory control)
+    exact_remat: bool = True             # remat the bank encode (memory vs FLOPs)
     donate_state: bool = True
 
     # --- infrastructure ---
@@ -93,7 +94,7 @@ class Config:
     _VOLATILE_FIELDS = frozenset({
         "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
-        "prior_block_n", "exact_reencode_chunk", "donate_state",
+        "prior_block_n", "exact_reencode_chunk", "exact_remat", "donate_state",
         "data_dir", "snapshot_dir", "checkpoint_every", "resume",
         "debug_nans", "profile_epoch",
     })

@@ -40,7 +40,8 @@ def make_sharded_exact_prior(model, cfg: Config, mesh: Mesh):
 
     def _local(variables, z, loo_idx, bank_images, bank_idx, bank_valid):
         means = encode_bank(model, variables, bank_images,
-                            chunk=cfg.exact_reencode_chunk)
+                            chunk=cfg.exact_reencode_chunk,
+                            remat=cfg.exact_remat)
         log_var = variables["params"]["prior_log_var"]
         lse_local = _pairwise_lse(z, means, log_var, loo_idx, bank_idx,
                                   bank_valid, impl, cfg.prior_block_n)

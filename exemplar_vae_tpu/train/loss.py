@@ -87,7 +87,8 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
             return sharded_exact_fn(variables, out.z_top, loo_idx,
                                     bank, log_denom)
         means = encode_bank(model, variables, bank.images,
-                            chunk=cfg.exact_reencode_chunk)
+                            chunk=cfg.exact_reencode_chunk,
+                            remat=cfg.exact_remat)
         return model.apply(
             variables, out.z_top, bank_means=means, data_idx=loo_idx,
             exemplar_idx=bank.data_idx, valid=bank.valid,

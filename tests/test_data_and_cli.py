@@ -95,3 +95,25 @@ def test_plots_grid(tmp_path):
     p = tmp_path / "g.png"
     save_grid(imgs, str(p))
     assert p.exists()
+
+
+def test_prepare_celeba_roundtrip(tmp_path):
+    """tools/prepare_celeba.py -> loader consumes the npz output."""
+    from PIL import Image
+    import sys
+    sys.path.insert(0, ".")
+    from tools.prepare_celeba import main as prep_main
+    img_dir = tmp_path / "raw"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        arr = rng.integers(0, 255, (178, 218, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:06d}.jpg")
+    out = tmp_path / "data"
+    prep_main(["--img_dir", str(img_dir), "--out", str(out)])
+    cfg = Config(dataset_name="celeba", data_dir=str(out))
+    ds, cfg2 = load_dataset(cfg)
+    assert ds.source == "real"
+    assert ds.train_x.shape == (8, 64, 64, 3)
+    assert ds.train_x.dtype == np.uint8
+    assert ds.val_x.shape[0] == 1 and ds.test_x.shape[0] == 1
