@@ -1,0 +1,65 @@
+"""Step-cost ablation: attribute the train-step time to its pieces.
+
+Times the compiled epoch scan under config variants (full step, no exemplar
+prior, prior impl variants) at bench scale. Run on the TPU when idle:
+
+    /opt/venv/bin/python tools/ablate_step.py
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+
+def time_variant(label, cfg_kw, steps=200):
+    import jax
+    import jax.numpy as jnp
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+
+    cfg = Config(dataset_name="synthetic", val_set_size=256, test_set_size=256,
+                 batch_size=100, hidden_size=300, z1_size=40, warmup=100,
+                 S=2, MB=2, compute_dtype="bfloat16", exact_reencode_chunk=0,
+                 exact_remat=False, snapshot_dir="/tmp/ablate_snap", **cfg_kw)
+    exp = Experiment(cfg, verbose=False)
+    ekey = jax.random.fold_in(exp.key, 1)
+    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
+                                steps=steps, batch=cfg.batch_size)
+    beta = jnp.float32(1.0)
+    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    jax.block_until_ready(st.params)
+    t0 = time.perf_counter()
+    st, m = exp.epoch_fn(st, ex, eidx, exp.bank,
+                         jax.random.fold_in(ekey, 2), beta)
+    jax.block_until_ready(st.params)
+    dt = (time.perf_counter() - t0) / steps * 1e3
+    print(f"{label:55s} {dt:8.3f} ms/step  ({steps*cfg.batch_size/(dt*steps/1e3):8.0f} img/s)",
+          flush=True)
+    return dt
+
+
+def main():
+    n = 50_000
+    ex = dict(prior="exemplar_prior", number_components=n, training_set_size=n)
+    time_variant("standard prior (no bank at all)",
+                 dict(prior="standard", training_set_size=n))
+    time_variant("exemplar exact + pallas prior (bench config)",
+                 dict(use_pallas_prior=True, **ex))
+    time_variant("exemplar exact + jnp-scan prior",
+                 dict(use_pallas_prior=False, **ex))
+    time_variant("exemplar exact + pallas, LOO mask off",
+                 dict(use_pallas_prior=True, no_mask=True, **ex))
+    time_variant("exemplar exact + pallas, fp32 compute",
+                 dict(use_pallas_prior=True, compute_dtype="float32", **ex))
+    time_variant("exemplar exact + pallas, remat on",
+                 dict(use_pallas_prior=True, exact_remat=True, **ex))
+
+
+if __name__ == "__main__":
+    main()
