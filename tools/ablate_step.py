@@ -23,10 +23,12 @@ def time_variant(label, cfg_kw, steps=200):
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
 
-    cfg = Config(dataset_name="synthetic", val_set_size=256, test_set_size=256,
-                 batch_size=100, hidden_size=300, z1_size=40, warmup=100,
-                 S=2, MB=2, compute_dtype="bfloat16", exact_reencode_chunk=0,
-                 exact_remat=False, snapshot_dir="/tmp/ablate_snap", **cfg_kw)
+    kw = dict(dataset_name="synthetic", val_set_size=256, test_set_size=256,
+              batch_size=100, hidden_size=300, z1_size=40, warmup=100,
+              S=2, MB=2, compute_dtype="bfloat16", exact_reencode_chunk=0,
+              exact_remat=False, snapshot_dir="/tmp/ablate_snap")
+    kw.update(cfg_kw)
+    cfg = Config(**kw)
     exp = Experiment(cfg, verbose=False)
     ekey = jax.random.fold_in(exp.key, 1)
     ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
