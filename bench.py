@@ -65,15 +65,22 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
     return ips, dps, dt / timed_steps, float(metrics["loss"])
 
 
-def baseline_images_per_sec(cache_path="bench_baseline_cache.json"):
+def baseline_images_per_sec(n_exemplars,
+                            cache_path="bench_baseline_cache.json"):
+    """torch-cpu baseline at the SAME exemplar count as the measured run
+    (a mismatched N would skew vs_baseline ~linearly in N)."""
+    key = f"torch_cpu_images_per_sec_N{n_exemplars}"
+    cache = {}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
-            return json.load(f)["torch_cpu_images_per_sec"]
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]
     from tools.torch_reference_baseline import measure_torch_baseline
-    ips = measure_torch_baseline(steps=2, warmup=1)
+    ips = measure_torch_baseline(n_exemplars=n_exemplars, steps=2, warmup=1)
+    cache[key] = ips
     with open(cache_path, "w") as f:
-        json.dump({"torch_cpu_images_per_sec": ips,
-                   "config": "vae exact exemplar prior N=50k batch=100"}, f)
+        json.dump(cache, f)
     return ips
 
 
@@ -86,7 +93,7 @@ def main():
     print(f"[bench] ours: {ips:.1f} img/s, {dps:.3e} distances/s, "
           f"{step_s*1e3:.2f} ms/step, loss={loss:.2f}", file=sys.stderr)
     try:
-        base = baseline_images_per_sec()
+        base = baseline_images_per_sec(n_ex)
     except Exception as e:
         print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
         base = None

@@ -31,6 +31,8 @@ class Config:
     input_size: Tuple[int, int, int] = (1, 28, 28)
     input_type: str = "binary"           # binary | gray | continuous
     dynamic_binarization: bool = True
+    # explicit user override of the per-dataset default (None = use dataset meta)
+    dynamic_binarization_override: "Optional[bool]" = None
 
     # --- prior parameters ---
     number_components: int = 50_000      # exemplar-set size N (vamp: #pseudo-inputs)
@@ -215,5 +217,5 @@ def config_from_args(ns) -> Config:
     if ns.mesh is not None:
         kw["mesh_shape"] = tuple(int(x) for x in ns.mesh.split(","))
     if ns.dynamic_binarization is not None:
-        kw["dynamic_binarization"] = ns.dynamic_binarization
+        kw["dynamic_binarization_override"] = ns.dynamic_binarization
     return Config(**kw)

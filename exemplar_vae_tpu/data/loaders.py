@@ -23,6 +23,7 @@ from __future__ import annotations
 import gzip
 import os
 import struct
+import zlib
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -173,6 +174,8 @@ def load_dataset(cfg: Config):
     """-> (DataSplits, Config with input metadata filled in)."""
     name = cfg.dataset_name
     input_type, dyn_bin, (c, h, w) = dataset_meta(name)
+    if cfg.dynamic_binarization_override is not None:
+        dyn_bin = cfg.dynamic_binarization_override
     cfg = cfg.replace(input_size=(c, h, w), input_type=input_type,
                       dynamic_binarization=dyn_bin)
     dd = cfg.data_dir
@@ -214,8 +217,9 @@ def load_dataset(cfg: Config):
     if splits is None:
         n_tr = cfg.training_set_size
         n_val, n_te = cfg.val_set_size, cfg.test_set_size
+        # stable across processes (hash() is randomized per interpreter)
         x, y = synthetic_images(n_tr + n_val + n_te, h, w, c,
-                                seed=1000 + abs(hash(name)) % 1000)
+                                seed=1000 + zlib.crc32(name.encode()) % 1000)
         if input_type == "binary" and not dyn_bin:
             rng = np.random.default_rng(7)
             x = (rng.random(x.shape) < x).astype(np.float32)

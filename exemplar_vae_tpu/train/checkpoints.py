@@ -24,7 +24,9 @@ from exemplar_vae_tpu.train.steps import TrainState
 
 def _save_tree(path, tree):
     leaves = jax.tree.leaves(jax.device_get(tree))
-    np.savez(path, *[np.asarray(l) for l in leaves])
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, *[np.asarray(l) for l in leaves])
+    os.replace(tmp, path)  # atomic: a crash mid-save never corrupts the old file
 
 
 def _load_tree(path, template):
@@ -44,8 +46,9 @@ def save_checkpoint(exp, tag: str = "last"):
     _save_tree(os.path.join(d, "state.npz"), exp.state)
     _save_tree(os.path.join(d, "best_params.npz"), exp.best_params)
     if exp.bank is not None and exp.bank.cache_means is not None:
-        np.savez(os.path.join(d, "cache.npz"),
-                 cache=np.asarray(jax.device_get(exp.bank.cache_means)))
+        tmp = os.path.join(d, "cache.npz.tmp.npz")
+        np.savez(tmp, cache=np.asarray(jax.device_get(exp.bank.cache_means)))
+        os.replace(tmp, os.path.join(d, "cache.npz"))
     meta = {"epoch": exp.epoch, "best_val": exp.best_val,
             "bad_epochs": exp.bad_epochs}
     tmp = os.path.join(d, "meta.json.tmp")

@@ -69,12 +69,11 @@ def make_elbo_eval_fn(model, cfg: Config):
         n = images_raw.shape[0]
         batch = min(batch or cfg.test_batch_size, n)
         tot = np.zeros(3, np.float64)
-        for i, start in enumerate(range(0, n - n % batch, batch)):
-            out = eval_batch(params, images_raw[start:start + batch],
-                             jax.random.fold_in(key, i), bank)
-            tot += np.asarray([float(v) for v in out]) * batch
-        seen = (n // batch) * batch
-        return tuple(tot / max(seen, 1))  # (loss, RE, KL)
+        for i, start in enumerate(range(0, n, batch)):
+            xb = images_raw[start:start + batch]   # tail batch included
+            out = eval_batch(params, xb, jax.random.fold_in(key, i), bank)
+            tot += np.asarray([float(v) for v in out]) * len(xb)
+        return tuple(tot / max(n, 1))  # (loss, RE, KL)
 
     return evaluate
 

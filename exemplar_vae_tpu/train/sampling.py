@@ -23,8 +23,11 @@ def _prep(key, x, cfg: Config):
 
 
 def generate_x(model, params, cfg: Config, n: int, key,
-               bank_images_raw=None):
-    """Unconditional samples: (n, H, W, C) decoder means."""
+               bank_images_raw=None, n_valid: int = None):
+    """Unconditional samples: (n, H, W, C) decoder means.
+
+    ``n_valid`` bounds exemplar sampling to the real (non-padding) bank rows
+    on a mesh-padded bank."""
     variables = {"params": params}
     k_pick, k_bin, k_z, k_dec = jax.random.split(key, 4)
     if cfg.prior == "standard":
@@ -35,7 +38,8 @@ def generate_x(model, params, cfg: Config, n: int, key,
         m, lv = model.apply(variables, u[idx], method="encode_top")
         z = m + jnp.exp(0.5 * lv) * jax.random.normal(k_z, m.shape)
     else:  # exemplar_prior
-        idx = jax.random.randint(k_pick, (n,), 0, bank_images_raw.shape[0])
+        hi = n_valid if n_valid is not None else bank_images_raw.shape[0]
+        idx = jax.random.randint(k_pick, (n,), 0, hi)
         ex = _prep(k_bin, bank_images_raw[idx], cfg)
         mu = model.apply(variables, ex, method="encode_top_mean")
         log_var = params["prior_log_var"]

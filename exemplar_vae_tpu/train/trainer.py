@@ -282,8 +282,10 @@ class Experiment:
                                    else x_test / 255.0),
                         os.path.join(self.exp_dir, "real.png"))
         bank_imgs = self.bank.images if self.bank is not None else None
+        n_valid = self.bank.n_effective if self.bank is not None else None
         gen = sampling.generate_x(self.model, params, cfg, 25,
-                                  jax.random.fold_in(key, 11), bank_imgs)
+                                  jax.random.fold_in(key, 11), bank_imgs,
+                                  n_valid=n_valid)
         plots.save_grid(np.asarray(gen), os.path.join(self.exp_dir,
                         "generations.png"))
         if cfg.prior == "exemplar_prior":
