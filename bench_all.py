@@ -86,6 +86,15 @@ def main(argv=None):
               **{k: v for k, v in common.items()
                  if k not in ("dataset_name", "exact_reencode_chunk")},
               exact_reencode_chunk=4096)),
+        ("4b: ConvHVAE CelebA-shaped, approximate-kNN K=10 (the intended "
+         "mode at this scale)",
+         dict(model_name="convhvae_2level", prior="exemplar_prior",
+              approximate_prior=True, approximate_k=10,
+              number_components=n200, training_set_size=n200,
+              dataset_name="synthetic_continuous",
+              **{k: v for k, v in common.items()
+                 if k not in ("dataset_name", "exact_reencode_chunk")},
+              exact_reencode_chunk=4096)),
         ("5: vamp-prior VAE (pseudo-input mixture) — comparison row",
          dict(model_name="vae", prior="vampprior", number_components=500,
               training_set_size=n50, **common)),
@@ -93,7 +102,9 @@ def main(argv=None):
     rows = []
     for label, kw in configs:
         try:
-            rows.append(measure(kw, steps, label))
+            # heavy exact-conv configs get fewer timed steps
+            cfg_steps = 10 if label.startswith("4:") else steps
+            rows.append(measure(kw, cfg_steps, label))
         except Exception as e:  # keep the suite going; record the failure
             rows.append({"config": label, "error": repr(e)[:300]})
             print(f"[bench_all] {label} FAILED: {e}", file=sys.stderr)
