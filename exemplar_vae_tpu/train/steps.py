@@ -48,6 +48,11 @@ def _preprocess_bank(key, bank: Bank, cfg: Config) -> Bank:
     imgs = preprocess_batch(key, bank.images, input_type=cfg.input_type,
                             dynamic_binarization=cfg.dynamic_binarization,
                             train=True)
+    if cfg.compute_dtype == "bfloat16":
+        # the encoder consumes bf16 anyway; storing the epoch bank in bf16
+        # halves its HBM footprint (matters at CelebA scale: 200k x 64x64x3
+        # fp32 would be ~9.8 GB). 0/1 binarized values are exact in bf16.
+        imgs = imgs.astype(jnp.bfloat16)
     return bank._replace(images=imgs)
 
 
