@@ -101,7 +101,8 @@ def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
     def epoch_fn(state, epoch_x, epoch_idx, bank, key, beta):
         steps = epoch_x.shape[0]
         if cfg.prior == "exemplar_prior":
-            bank = _preprocess_bank(jax.random.fold_in(key, 0x5eed), bank, cfg)
+            # 2**31-1: cannot collide with per-step fold_in(key, i) indices
+            bank = _preprocess_bank(jax.random.fold_in(key, 0x7FFFFFFF), bank, cfg)
 
         def body(carry, inp):
             x, idx, i = inp
