@@ -78,10 +78,13 @@ def main(argv=None):
               number_components=n50, training_set_size=n50,
               dataset_name="synthetic_gray",
               **{k: v for k, v in common.items() if k != "dataset_name"})),
+        # exact conv re-encode is intentionally capped: at 200k exemplars it
+        # is the pathological config the approximate mode (4b) exists for
         ("4: ConvHVAE CelebA-shaped (3x64x64 continuous), exact exemplar "
-         "prior, chunked bank re-encode",
+         "prior, chunked bank re-encode (capped N)",
          dict(model_name="convhvae_2level", prior="exemplar_prior",
-              number_components=n200, training_set_size=n200,
+              number_components=min(n200, 20_000),
+              training_set_size=min(n200, 20_000),
               dataset_name="synthetic_continuous",
               **{k: v for k, v in common.items()
                  if k not in ("dataset_name", "exact_reencode_chunk")},
