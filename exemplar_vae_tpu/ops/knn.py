@@ -29,11 +29,31 @@ def pairwise_sq_dist(q, bank):
     return jnp.maximum(q_sq + b_sq - 2.0 * cross, 0.0)
 
 
-def knn_indices(q_means, cache_means, k: int):
-    """Top-k nearest cache rows per query. Returns (B, k) int32 indices."""
+def knn_indices(q_means, cache_means, k: int, *, block: int = 8192):
+    """Top-k nearest cache rows per query. Returns (B, k) int32 indices.
+
+    Large caches use an EXACT two-stage reduction: per-block top-k followed
+    by a top-k over the (num_blocks * k) candidates — the global top-k rows
+    all survive their block's top-k, so the result is identical to a single
+    top_k. One-stage lax.top_k over a very wide axis (e.g. 200k columns at
+    CelebA scale) blows up TPU compile time; two-stage keeps every sort
+    narrow.
+    """
     d = pairwise_sq_dist(q_means, jax.lax.stop_gradient(cache_means))
-    _, idx = jax.lax.top_k(-d, k)
-    return idx.astype(jnp.int32)
+    b, n = d.shape
+    if n <= max(2 * block, 2 * k):
+        _, idx = jax.lax.top_k(-d, min(k, n))
+        return idx.astype(jnp.int32)
+    pad = (-n) % block
+    d_p = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    nb = d_p.shape[1] // block
+    d_t = d_p.reshape(b, nb, block)
+    neg_blk, idx_blk = jax.lax.top_k(-d_t, k)          # (B, nb, k)
+    base = (jnp.arange(nb, dtype=jnp.int32) * block)[None, :, None]
+    cand_idx = (idx_blk.astype(jnp.int32) + base).reshape(b, nb * k)
+    cand_neg = neg_blk.reshape(b, nb * k)
+    _, sel = jax.lax.top_k(cand_neg, k)                # (B, k) into candidates
+    return jnp.take_along_axis(cand_idx, sel, axis=1)
 
 
 def encode_bank(model, variables, bank_images, *, chunk: int = 8192,

@@ -73,3 +73,16 @@ def test_uint8_dequantization():
     assert (tr >= x / 256.0).all() and (tr <= (x + 1.0) / 256.0).all()
     np.testing.assert_allclose(ev, (x + 0.5) / 256.0, rtol=1e-6)
     assert (tr != ev).any()  # train adds noise
+
+
+def test_knn_two_stage_matches_one_stage(rng):
+    """The blocked top-k reduction is exact vs a single top_k."""
+    import jax.numpy as jnp
+    q = jnp.asarray(rng.normal(size=(7, 12)), jnp.float32)
+    bank = jnp.asarray(rng.normal(size=(3000, 12)), jnp.float32)
+    a = np.asarray(knn_indices(q, bank, 5, block=256))   # forced two-stage
+    b = np.asarray(knn_indices(q, bank, 5, block=100000))  # one-stage
+    d = ((np.asarray(q)[:, None] - np.asarray(bank)[None]) ** 2).sum(-1)
+    da = np.take_along_axis(d, a, 1)
+    db = np.take_along_axis(d, b, 1)
+    np.testing.assert_allclose(np.sort(da, 1), np.sort(db, 1), rtol=1e-5)
