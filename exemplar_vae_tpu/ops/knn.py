@@ -57,7 +57,7 @@ def knn_indices(q_means, cache_means, k: int, *, block: int = 8192):
 
 
 def encode_bank(model, variables, bank_images, *, chunk: int = 8192,
-                remat: bool = True):
+                remat: bool = True, pre_fn=None, pre_key=None):
     """Encode the whole exemplar bank -> (N, Dz) latent means, chunked.
 
     Used both for the per-epoch cache refresh (stop-gradient, reference
@@ -66,19 +66,31 @@ def encode_bank(model, variables, bank_images, *, chunk: int = 8192,
     memory stays O(chunk) regardless of N. ``chunk <= 0`` disables chunking:
     one giant batched encode — best MXU utilization when memory allows
     (a serialized lax.map leaves the MXU idle between chunks).
+
+    ``pre_fn(key, xc) -> xc`` preprocesses each chunk right before encoding
+    (keys folded per chunk from ``pre_key``). This keeps uint8 banks raw in
+    HBM — materializing a full float bank at CelebA scale (200k x 64x64x3)
+    costs ~5-10 GB and OOMs a single chip.
     """
     n = bank_images.shape[0]
 
-    def enc_direct(xc):
+    def enc_direct(xc, key=None):
+        if pre_fn is not None:
+            xc = pre_fn(key, xc)
         return model.apply(variables, xc, method="encode_top_mean")
 
     if chunk is None or chunk <= 0 or chunk >= n:
         f = jax.checkpoint(enc_direct) if remat else enc_direct
-        return f(bank_images)
+        return f(bank_images, pre_key)
     chunk = min(chunk, n)
     pad = (-n) % chunk
     imgs = jnp.pad(bank_images, ((0, pad),) + ((0, 0),) * (bank_images.ndim - 1))
     enc = jax.checkpoint(enc_direct) if remat else enc_direct
     chunks = imgs.reshape((-1, chunk) + imgs.shape[1:])
-    means = jax.lax.map(enc, chunks)
+    num_chunks = chunks.shape[0]
+    if pre_key is None:
+        pre_key = jax.random.PRNGKey(0)  # unused unless pre_fn consumes it
+    keys = jax.vmap(lambda i: jax.random.fold_in(pre_key, i))(
+        jnp.arange(num_chunks))
+    means = jax.lax.map(lambda args: enc(*args), (chunks, keys))
     return means.reshape(-1, means.shape[-1])[:n]

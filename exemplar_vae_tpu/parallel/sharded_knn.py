@@ -31,21 +31,27 @@ def make_sharded_cache_refresh(model, cfg: Config, mesh: Mesh):
     """bank images sharded -> cache means sharded (stop-gradient)."""
     axis = cfg.mesh_axes[0]
 
-    def _local(params, imgs):
+    def _local(params, imgs, key):
+        from exemplar_vae_tpu.train.loss import bank_pre_fn
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        if imgs.dtype == jnp.uint8:
+            return encode_bank(model, {"params": params}, imgs,
+                               chunk=cfg.exact_reencode_chunk, remat=False,
+                               pre_fn=bank_pre_fn(cfg), pre_key=key)
+        from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+        imgs = preprocess_batch(key, imgs, input_type=cfg.input_type,
+                                dynamic_binarization=cfg.dynamic_binarization,
+                                train=True)
         return encode_bank(model, {"params": params}, imgs,
                            chunk=cfg.exact_reencode_chunk, remat=False)
 
     sharded = jax.shard_map(_local, mesh=mesh,
-                            in_specs=(P(), P(axis)), out_specs=P(axis),
+                            in_specs=(P(), P(axis), P()), out_specs=P(axis),
                             check_vma=False)
 
     @jax.jit
     def refresh(params, bank_images, key):
-        from exemplar_vae_tpu.ops.preprocess import preprocess_batch
-        imgs = preprocess_batch(key, bank_images, input_type=cfg.input_type,
-                                dynamic_binarization=cfg.dynamic_binarization,
-                                train=True)
-        return jax.lax.stop_gradient(sharded(params, imgs))
+        return jax.lax.stop_gradient(sharded(params, bank_images, key))
 
     return refresh
 
@@ -112,12 +118,19 @@ def make_sharded_approx_prior(model, cfg: Config, mesh: Mesh):
     gather = make_sharded_row_gather(cfg, mesh)
     from exemplar_vae_tpu.models.base import rows_exemplar_log_prob
 
-    def prior_fn(variables, out, bank, loo_idx, log_denom):
+    def prior_fn(variables, out, bank, loo_idx, log_denom, bank_key=None):
         rows = select(out.q_mean, bank.cache_means, bank.valid)   # (B, K)
         imgs = gather(bank.images, rows)                          # (B, K, ...)
         ex_idx_bk = gather(bank.data_idx.astype(jnp.float32),
                            rows).astype(jnp.int32)
         flat = imgs.reshape((-1,) + imgs.shape[2:])
+        if bank.images.dtype == jnp.uint8:
+            # raw uint8 bank: gather returned raw 0..255 values as float;
+            # dequantize here (see ops/preprocess.preprocess_batch)
+            from exemplar_vae_tpu.train.loss import bank_pre_fn
+            if bank_key is None:
+                bank_key = jax.random.PRNGKey(0)
+            flat = bank_pre_fn(cfg)(bank_key, flat.astype(jnp.uint8))
         means = model.apply(variables, flat, method="encode_top_mean")
         means = means.reshape(rows.shape + (means.shape[-1],))
         log_var = variables["params"]["prior_log_var"]

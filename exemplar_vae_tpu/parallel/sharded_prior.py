@@ -38,10 +38,16 @@ def make_sharded_exact_prior(model, cfg: Config, mesh: Mesh):
     axis = cfg.mesh_axes[0]
     impl = "pallas" if cfg.use_pallas_prior else "scan"
 
-    def _local(variables, z, loo_idx, bank_images, bank_idx, bank_valid):
+    def _local(variables, z, loo_idx, bank_images, bank_idx, bank_valid,
+               bank_key):
+        from exemplar_vae_tpu.train.loss import bank_pre_fn
+        pre = bank_pre_fn(cfg) if bank_images.dtype == jnp.uint8 else None
+        # per-device key so shards draw independent preprocessing noise
+        bank_key = jax.random.fold_in(bank_key, jax.lax.axis_index(axis))
         means = encode_bank(model, variables, bank_images,
                             chunk=cfg.exact_reencode_chunk,
-                            remat=cfg.exact_remat)
+                            remat=cfg.exact_remat,
+                            pre_fn=pre, pre_key=bank_key)
         log_var = variables["params"]["prior_log_var"]
         lse_local = _pairwise_lse(z, means, log_var, loo_idx, bank_idx,
                                   bank_valid, impl, cfg.prior_block_n)
@@ -51,16 +57,18 @@ def make_sharded_exact_prior(model, cfg: Config, mesh: Mesh):
 
     sharded = jax.shard_map(
         _local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
         check_vma=False,
     )
 
-    def prior_fn(variables, z, loo_idx, bank, log_denom):
+    def prior_fn(variables, z, loo_idx, bank, log_denom, bank_key=None):
         if loo_idx is None:
             loo_idx = jnp.full((z.shape[0],), -1, jnp.int32)
+        if bank_key is None:
+            bank_key = jax.random.PRNGKey(0)
         lse = sharded(variables, z.astype(jnp.float32), loo_idx,
-                      bank.images, bank.data_idx, bank.valid)
+                      bank.images, bank.data_idx, bank.valid, bank_key)
         return lse - jnp.asarray(log_denom, jnp.float32)
 
     return prior_fn

@@ -34,6 +34,13 @@ def make_eval_bank_fn(model, cfg: Config):
 
     @jax.jit
     def build(params, bank_images_raw, bank_data_idx, bank_valid, key):
+        if bank_images_raw.dtype == jnp.uint8:
+            from exemplar_vae_tpu.train.loss import bank_pre_fn
+            means = encode_bank(
+                model, {"params": params}, bank_images_raw,
+                chunk=cfg.exact_reencode_chunk or 8192, remat=False,
+                pre_fn=bank_pre_fn(cfg, train=False), pre_key=key)
+            return jax.lax.stop_gradient(means)
         imgs = preprocess_batch(key, bank_images_raw,
                                 input_type=cfg.input_type,
                                 dynamic_binarization=cfg.dynamic_binarization,

@@ -27,6 +27,19 @@ from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.models.base import reconstruction_log_lik
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 from exemplar_vae_tpu.ops.knn import encode_bank, knn_indices
+from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+
+
+def bank_pre_fn(cfg: Config, train: bool = True):
+    """Per-chunk preprocessing hook for RAW (uint8) banks — see
+    encode_bank. Float banks are preprocessed once per epoch instead."""
+
+    def pre(key, xc):
+        return preprocess_batch(key, xc, input_type=cfg.input_type,
+                                dynamic_binarization=cfg.dynamic_binarization,
+                                train=train)
+
+    return pre
 
 
 class Bank(NamedTuple):
@@ -58,21 +71,28 @@ def bank_log_denom(cfg: Config, bank: Bank, train: bool):
 
 def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
                             data_idx, train: bool, sharded_exact_fn=None,
-                            sharded_approx_fn=None):
+                            sharded_approx_fn=None, bank_key=None):
     """log p(z_top | exemplar bank) for the three support-resolution modes."""
     log_denom = bank_log_denom(cfg, bank, train)
     loo_idx = data_idx if (train and cfg.loo_mask_enabled) else None
     impl = "pallas" if cfg.use_pallas_prior else "scan"
+    raw_bank = bank.images is not None and bank.images.dtype == jnp.uint8
+    pre = bank_pre_fn(cfg) if raw_bank else None
+    if bank_key is None:
+        bank_key = jax.random.PRNGKey(0)
 
     if train and cfg.approximate_prior and sharded_approx_fn is not None:
         # sharded cache + bank (parallel/sharded_knn.py)
-        return sharded_approx_fn(variables, out, bank, loo_idx, log_denom)
+        return sharded_approx_fn(variables, out, bank, loo_idx, log_denom,
+                                 bank_key)
 
     if train and cfg.approximate_prior:
         # kNN over the stale cache, fresh differentiable re-encode of K
         idx = knn_indices(out.q_mean, bank.cache_means, cfg.approximate_k)
         imgs = jnp.take(bank.images, idx, axis=0)            # (B, K, ...)
         flat = imgs.reshape((-1,) + imgs.shape[2:])
+        if pre is not None:
+            flat = pre(bank_key, flat)
         means = model.apply(variables, flat, method="encode_top_mean")
         means = means.reshape(idx.shape + (means.shape[-1],))
         ex_idx_bk = jnp.take(bank.data_idx, idx, axis=0)
@@ -85,10 +105,11 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
         # exact: differentiable full-bank re-encode
         if sharded_exact_fn is not None:
             return sharded_exact_fn(variables, out.z_top, loo_idx,
-                                    bank, log_denom)
+                                    bank, log_denom, bank_key)
         means = encode_bank(model, variables, bank.images,
                             chunk=cfg.exact_reencode_chunk,
-                            remat=cfg.exact_remat)
+                            remat=cfg.exact_remat,
+                            pre_fn=pre, pre_key=bank_key)
         return model.apply(
             variables, out.z_top, bank_means=means, data_idx=loo_idx,
             exemplar_idx=bank.data_idx, valid=bank.valid,
@@ -104,7 +125,7 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
 
 def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
                bank: Optional[Bank] = None, train: bool = True,
-               sharded_exact_fn=None, sharded_approx_fn=None):
+               sharded_exact_fn=None, sharded_approx_fn=None, bank_key=None):
     """One forward pass -> per-example (RE, KL).
 
     The IWAE importance weight is ``RE - KL`` with these sampled terms
@@ -116,7 +137,7 @@ def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
     if cfg.prior == "exemplar_prior":
         log_p = exemplar_prior_log_prob(model, variables, out, cfg, bank,
                                         data_idx, train, sharded_exact_fn,
-                                        sharded_approx_fn)
+                                        sharded_approx_fn, bank_key)
     else:
         log_p = model.apply(variables, out.z_top, method="log_p_z_top")
     kl = log_q - log_p + out.extra_kl
@@ -125,11 +146,12 @@ def elbo_terms(model, variables, x, key, cfg: Config, *, data_idx=None,
 
 def batch_loss(model, variables, x, key, beta, cfg: Config, *, data_idx=None,
                bank=None, train=True, sharded_exact_fn=None,
-               sharded_approx_fn=None):
+               sharded_approx_fn=None, bank_key=None):
     """Scalar loss + aux metrics (reference: calculate_loss averaged [U])."""
     re, kl, _ = elbo_terms(model, variables, x, key, cfg, data_idx=data_idx,
                            bank=bank, train=train,
                            sharded_exact_fn=sharded_exact_fn,
-                           sharded_approx_fn=sharded_approx_fn)
+                           sharded_approx_fn=sharded_approx_fn,
+                           bank_key=bank_key)
     loss = jnp.mean(-re + beta * kl)
     return loss, {"re": jnp.mean(-re), "kl": jnp.mean(kl), "loss": loss}

@@ -45,13 +45,18 @@ def init_train_state(model, tx, cfg: Config, key) -> TrainState:
 def _preprocess_bank(key, bank: Bank, cfg: Config) -> Bank:
     if bank is None or bank.images is None:
         return bank
+    if bank.images.dtype == jnp.uint8:
+        # uint8 (CelebA-scale) banks stay raw in HBM: materializing a float
+        # bank costs 5-10 GB and OOMs a chip (seen at N=200k: XLA also keeps
+        # a 2x-padded layout copy inside the loop). Dequantization happens
+        # at the point of use (gathered rows / encode chunks).
+        return bank
     imgs = preprocess_batch(key, bank.images, input_type=cfg.input_type,
                             dynamic_binarization=cfg.dynamic_binarization,
                             train=True)
     if cfg.compute_dtype == "bfloat16":
         # the encoder consumes bf16 anyway; storing the epoch bank in bf16
-        # halves its HBM footprint (matters at CelebA scale: 200k x 64x64x3
-        # fp32 would be ~9.8 GB). 0/1 binarized values are exact in bf16.
+        # halves its HBM footprint. 0/1 binarized values are exact in bf16.
         imgs = imgs.astype(jnp.bfloat16)
     return bank._replace(images=imgs)
 
@@ -78,7 +83,8 @@ def make_train_step(model, tx, cfg: Config, sharded_exact_fn=None,
             return batch_loss(model, {"params": params}, x, k_z, beta, cfg,
                               data_idx=data_idx, bank=bank, train=True,
                               sharded_exact_fn=sharded_exact_fn,
-                              sharded_approx_fn=sharded_approx_fn)
+                              sharded_approx_fn=sharded_approx_fn,
+                              bank_key=k_bank)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -127,6 +133,12 @@ def make_cache_refresh(model, cfg: Config):
 
     @jax.jit
     def refresh(params, bank_images_raw, key):
+        if bank_images_raw.dtype == jnp.uint8:
+            from exemplar_vae_tpu.train.loss import bank_pre_fn
+            means = encode_bank(model, {"params": params}, bank_images_raw,
+                                chunk=cfg.exact_reencode_chunk, remat=False,
+                                pre_fn=bank_pre_fn(cfg), pre_key=key)
+            return jax.lax.stop_gradient(means)
         imgs = preprocess_batch(key, bank_images_raw,
                                 input_type=cfg.input_type,
                                 dynamic_binarization=cfg.dynamic_binarization,
