@@ -96,15 +96,26 @@ def make_sharded_row_gather(cfg: Config, mesh: Mesh):
 
     def _local(arr_shard, rows):
         n_loc = arr_shard.shape[0]
+        row_shape = arr_shard.shape[1:]
+        # flat 2D view: avoids XLA re-layout copies of big NHWC banks for
+        # in-loop gathers (see train/loss.py approx branch)
+        arr2d = arr_shard.reshape(n_loc, -1) if arr_shard.ndim > 1 else arr_shard
         me = jax.lax.axis_index(axis)
         local = rows - me.astype(jnp.int32) * n_loc
         in_range = (local >= 0) & (local < n_loc)
         safe = jnp.clip(local, 0, n_loc - 1)
-        vals = jnp.take(arr_shard, safe, axis=0)              # rows.shape + row
+        if arr_shard.ndim > 1:
+            vals = jnp.take(arr2d, safe.reshape(-1), axis=0)
+            vals = vals.reshape(rows.shape + (arr2d.shape[-1],))
+        else:
+            vals = jnp.take(arr_shard, safe, axis=0)
         mask = in_range.reshape(in_range.shape + (1,) * (vals.ndim - rows.ndim))
         vals = jnp.where(mask, vals, 0).astype(
             jnp.float32 if arr_shard.dtype == jnp.uint8 else vals.dtype)
-        return jax.lax.psum(vals, axis)
+        out = jax.lax.psum(vals, axis)
+        if arr_shard.ndim > 1:
+            out = out.reshape(rows.shape + row_shape)
+        return out
 
     return jax.shard_map(_local, mesh=mesh,
                          in_specs=(P(axis), P()), out_specs=P(),

@@ -89,8 +89,12 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
     if train and cfg.approximate_prior:
         # kNN over the stale cache, fresh differentiable re-encode of K
         idx = knn_indices(out.q_mean, bank.cache_means, cfg.approximate_k)
-        imgs = jnp.take(bank.images, idx, axis=0)            # (B, K, ...)
-        flat = imgs.reshape((-1,) + imgs.shape[2:])
+        # gather from a flat 2D view: XLA re-lays-out a big NHWC array for
+        # in-loop gathers (tiling the size-3 channel dim pads it 43x), which
+        # both OOMs and grinds compilation at CelebA scale
+        bank2d = bank.images.reshape(bank.images.shape[0], -1)
+        sel = jnp.take(bank2d, idx.reshape(-1), axis=0)      # (B*K, HWC)
+        flat = sel.reshape((-1,) + bank.images.shape[1:])
         if pre is not None:
             flat = pre(bank_key, flat)
         means = model.apply(variables, flat, method="encode_top_mean")
