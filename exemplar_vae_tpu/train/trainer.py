@@ -167,7 +167,13 @@ class Experiment:
     def _build_epoch_impl(self, train_x, train_idx, key, steps, batch):
         perm = jax.random.permutation(key, train_x.shape[0])[:steps * batch]
         perm = perm.reshape(steps, batch)
-        return jnp.take(train_x, perm, axis=0), jnp.take(train_idx, perm, axis=0)
+        # gather via a flat 2D view: XLA re-lays-out big NHWC arrays for
+        # gathers (channel-dim tiling pads ~43x at CelebA shapes), which
+        # grinds compilation — see the same fix in train/loss.py
+        x2d = train_x.reshape(train_x.shape[0], -1)
+        ex = jnp.take(x2d, perm.reshape(-1), axis=0)
+        ex = ex.reshape((steps, batch) + train_x.shape[1:])
+        return ex, jnp.take(train_idx, perm, axis=0)
 
     def _log(self, record):
         with open(self._metrics_path, "a") as f:
