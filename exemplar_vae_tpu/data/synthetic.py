@@ -29,24 +29,33 @@ def synthetic_images(n: int, h: int, w: int, c: int, *, n_classes: int = 10,
     yy /= max(h - 1, 1)
     xx /= max(w - 1, 1)
 
-    # per-sample jitter of the class layout
+    # per-sample jitter of the class layout — everything float32 and chunked:
+    # float64 temporaries at (200k, 64, 64) scale cost tens of GB of
+    # bandwidth and took >10 min to generate
     jitter = rng.normal(0.0, 0.04, (n, blobs_per_class, 2)).astype(np.float32)
-    imgs = np.zeros((n, h, w), np.float32)
-    cy = centers[labels, :, 0] + jitter[:, :, 0]      # (n, blobs)
-    cx = centers[labels, :, 1] + jitter[:, :, 1]
-    sg = sigmas[labels]
-    am = amps[labels] * rng.uniform(0.8, 1.2, (n, blobs_per_class))
-    for b in range(blobs_per_class):
-        d2 = (yy[None] - cy[:, b, None, None]) ** 2 + \
-             (xx[None] - cx[:, b, None, None]) ** 2
-        imgs += am[:, b, None, None] * np.exp(
-            -d2 / (2.0 * sg[:, b, None, None] ** 2))
-    imgs = np.clip(imgs, 0.0, 1.0)
-    if c == 1:
-        out = imgs[..., None]
-    else:
-        # color channels as phase-shifted copies
-        chans = [np.clip(imgs * (0.6 + 0.4 * np.cos(k + labels[:, None, None]
-                 * 0.7)), 0, 1) for k in range(c)]
-        out = np.stack(chans, axis=-1).astype(np.float32)
-    return out.astype(np.float32), labels
+    cy = (centers[labels, :, 0] + jitter[:, :, 0]).astype(np.float32)
+    cx = (centers[labels, :, 1] + jitter[:, :, 1]).astype(np.float32)
+    sg = sigmas[labels].astype(np.float32)
+    am = (amps[labels] * rng.uniform(0.8, 1.2, (n, blobs_per_class))
+          ).astype(np.float32)
+    out = np.empty((n, h, w, c), np.float32)
+    phase = (0.6 + 0.4 * np.cos(np.arange(c, dtype=np.float32)[None, :]
+                                + labels[:, None].astype(np.float32) * 0.7)
+             ).astype(np.float32)                      # (n, c)
+    chunk = 16384
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        imgs = np.zeros((e - s, h, w), np.float32)
+        for b in range(blobs_per_class):
+            d2 = (yy[None] - cy[s:e, b, None, None]) ** 2 + \
+                 (xx[None] - cx[s:e, b, None, None]) ** 2
+            inv = (-0.5 / sg[s:e, b, None, None] ** 2).astype(np.float32)
+            imgs += am[s:e, b, None, None] * np.exp(d2 * inv)
+        np.clip(imgs, 0.0, 1.0, out=imgs)
+        if c == 1:
+            out[s:e, ..., 0] = imgs
+        else:
+            for k in range(c):
+                np.clip(imgs * phase[s:e, k, None, None], 0, 1,
+                        out=out[s:e, ..., k])
+    return out, labels
