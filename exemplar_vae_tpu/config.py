@@ -41,6 +41,14 @@ class Config:
     prior_variance_init: float = 1.0     # init for the learned shared sigma^2
     no_mask: bool = False                # disable leave-one-out masking (debug flag)
     use_training_data_init: bool = False # vamp pseudo-input init from data
+    # Exemplar-BANK preprocessing convention. False (default, reference
+    # behavior [M]): the bank is encoded from the loader-held tensors —
+    # gray levels for dynamically-binarized datasets, (x+0.5)/256 for
+    # continuous — deterministically, at train AND eval (the reference's
+    # cache_z / exemplar embedding encodes the dataset tensors directly;
+    # only the training BATCH gets the fresh per-step Bernoulli/dequant
+    # draw [U]). True: per-epoch stochastic bank preprocessing (ablation).
+    bank_stochastic_preprocess: bool = False
 
     # --- optimization (reference defaults, SURVEY.md §0.1) ---
     lr: float = 5e-4

@@ -32,6 +32,21 @@ from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.data.synthetic import synthetic_images
 
 
+# Fixed seed for the ONE-TIME Bernoulli binarization of val/test splits of
+# dynamically-binarized datasets. The reference seeds numpy with 777 before
+# binomial-sampling the eval splits at load time (utils/load_data.py::
+# load_dynamic_mnist / load_omniglot [U]) so evaluation targets are identical
+# across epochs and runs; training data stays gray and is re-sampled per step.
+EVAL_BIN_SEED = 777
+
+
+def binarize_eval_split(x: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """One-time Bernoulli sample of an eval split's gray levels -> float32 0/1."""
+    xf = x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else \
+        np.asarray(x, np.float32)
+    return (rng.random_sample(xf.shape) < xf).astype(np.float32)
+
+
 class DataSplits(NamedTuple):
     train_x: np.ndarray              # (N, H, W, C) float32 [0,1] or uint8
     train_idx: np.ndarray            # (N,) int32 global indices
@@ -231,6 +246,13 @@ def load_dataset(cfg: Config):
 
     tr_x, tr_y, va_x, va_y, te_x, te_y, source = splits
     tr_x = np.ascontiguousarray(tr_x)
+    if input_type == "binary" and dyn_bin:
+        # one-time fixed-seed eval binarization (reference protocol; see
+        # EVAL_BIN_SEED above). val first, then test, from ONE stream —
+        # order matters for bit-reproducibility.
+        rng = np.random.RandomState(EVAL_BIN_SEED)
+        va_x = binarize_eval_split(va_x, rng)
+        te_x = binarize_eval_split(te_x, rng)
     ds = DataSplits(
         train_x=tr_x,
         train_idx=np.arange(len(tr_x), dtype=np.int32),

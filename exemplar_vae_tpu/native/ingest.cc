@@ -46,6 +46,15 @@ long amat_parse(const char* path, float* out, long max_elems) {
             if (pos == len && got == BUF) {
                 // token may continue in the next chunk — carry it over
                 carry = len - start;
+                if (carry > 63) {
+                    // only 64 bytes of slack beyond BUF: a longer carried
+                    // token would overflow the next fread(buf+carry,...).
+                    // No real .amat value is this long — treat as malformed
+                    // and let the numpy fallback handle the file.
+                    std::free(buf);
+                    std::fclose(f);
+                    return -1;
+                }
                 std::memmove(buf, buf + start, carry);
                 goto next_chunk;
             }

@@ -6,7 +6,12 @@ dynamic binarization; CelebA dequantization in the loader). Here both run
 inside the jitted step on device:
 
 * dynamic binarization — a fresh Bernoulli sample of the gray levels every
-  step (the standard "dynamic MNIST" protocol, SURVEY.md §0.3);
+  step (the standard "dynamic MNIST" protocol, SURVEY.md §0.3). This applies
+  to TRAINING data only: the reference binarizes val/test ONCE at load time
+  with a fixed numpy seed (utils/load_data.py seeds np.random before
+  binomial-sampling the eval splits [U]), so evaluation targets are fixed
+  across epochs and runs. data/loaders.py reproduces that (EVAL_BIN_SEED);
+  here ``train=False`` is therefore a pass-through for binary data.
 * uniform dequantization for continuous data — x stored as uint8,
   (x + u)/256 with u ~ U[0,1) at train time, (x + 0.5)/256 at eval.
 """
@@ -31,11 +36,11 @@ def preprocess_batch(key, x, *, input_type: str, dynamic_binarization: bool,
         xf = to_float(x)
         if dynamic_binarization and train:
             return jax.random.bernoulli(key, xf).astype(jnp.float32)
-        if dynamic_binarization and not train:
-            # eval on binarized data: deterministic threshold-free sample
-            # with a fixed key is NOT what the reference does — it samples
-            # once per evaluation pass; callers pass a fixed eval key.
-            return jax.random.bernoulli(key, xf).astype(jnp.float32)
+        # eval: val/test were binarized once at load time with a fixed seed
+        # (data/loaders.py EVAL_BIN_SEED, matching the reference protocol),
+        # so the data is already 0/1 — pass through. Evaluating against a
+        # per-call re-sample would add noise to best-on-val selection and
+        # make test NLL depend on the eval key (round-1 VERDICT missing #2).
         return xf
     if input_type == "continuous":
         if x.dtype == jnp.uint8:

@@ -41,7 +41,7 @@ def make_sharded_cache_refresh(model, cfg: Config, mesh: Mesh):
         from exemplar_vae_tpu.ops.preprocess import preprocess_batch
         imgs = preprocess_batch(key, imgs, input_type=cfg.input_type,
                                 dynamic_binarization=cfg.dynamic_binarization,
-                                train=True)
+                                train=cfg.bank_stochastic_preprocess)
         return encode_bank(model, {"params": params}, imgs,
                            chunk=cfg.exact_reencode_chunk, remat=False)
 
@@ -132,8 +132,10 @@ def make_sharded_approx_prior(model, cfg: Config, mesh: Mesh):
     def prior_fn(variables, out, bank, loo_idx, log_denom, bank_key=None):
         rows = select(out.q_mean, bank.cache_means, bank.valid)   # (B, K)
         imgs = gather(bank.images, rows)                          # (B, K, ...)
-        ex_idx_bk = gather(bank.data_idx.astype(jnp.float32),
-                           rows).astype(jnp.int32)
+        # int32 stays int32 through the masked-gather psum: integer
+        # collectives are exact at any bank size (a float32 round-trip is
+        # only exact below 2^24 — a silent-corruption hazard at larger N)
+        ex_idx_bk = gather(bank.data_idx, rows)
         flat = imgs.reshape((-1,) + imgs.shape[2:])
         if bank.images.dtype == jnp.uint8:
             # raw uint8 bank: gather returned raw 0..255 values as float;

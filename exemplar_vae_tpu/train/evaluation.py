@@ -119,10 +119,14 @@ def make_iwae_fn(model, cfg: Config):
                              s_total: Optional[int] = None,
                              chunk: Optional[int] = None,
                              r: Optional[int] = None):
-        """Mean test NLL in nats/image. s_total ~ cfg.S, r ~ cfg.MB."""
+        """Mean test NLL in nats/image. s_total ~ cfg.S, r ~ cfg.MB.
+
+        When S is not divisible by the round size r, rounds are CEIL-divided
+        so at least S samples are always used (rounds*r >= S; the estimator
+        normalizes by rounds*r, so it stays consistent either way)."""
         s_total = s_total or cfg.S
         r = min(r or cfg.MB, s_total)
-        rounds = max(s_total // r, 1)
+        rounds = max(-(-s_total // r), 1)
         chunk = chunk or cfg.test_batch_size
         n = test_images_raw.shape[0]
         nlls = []

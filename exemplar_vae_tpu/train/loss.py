@@ -30,9 +30,17 @@ from exemplar_vae_tpu.ops.knn import encode_bank, knn_indices
 from exemplar_vae_tpu.ops.preprocess import preprocess_batch
 
 
-def bank_pre_fn(cfg: Config, train: bool = True):
+def bank_pre_fn(cfg: Config, train: Optional[bool] = None):
     """Per-chunk preprocessing hook for RAW (uint8) banks — see
-    encode_bank. Float banks are preprocessed once per epoch instead."""
+    encode_bank. Float banks are preprocessed once per epoch instead.
+
+    ``train=None`` resolves to ``cfg.bank_stochastic_preprocess``: by
+    default the bank uses DETERMINISTIC preprocessing everywhere — the
+    reference encodes the loader-held dataset tensors for the exemplar
+    embedding; only the training batch gets fresh stochastic draws [U]
+    (see Config.bank_stochastic_preprocess)."""
+    if train is None:
+        train = cfg.bank_stochastic_preprocess
 
     def pre(key, xc):
         return preprocess_batch(key, xc, input_type=cfg.input_type,

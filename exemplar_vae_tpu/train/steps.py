@@ -53,10 +53,11 @@ def _preprocess_bank(key, bank: Bank, cfg: Config) -> Bank:
         return bank
     imgs = preprocess_batch(key, bank.images, input_type=cfg.input_type,
                             dynamic_binarization=cfg.dynamic_binarization,
-                            train=True)
+                            train=cfg.bank_stochastic_preprocess)
     if cfg.compute_dtype == "bfloat16":
         # the encoder consumes bf16 anyway; storing the epoch bank in bf16
-        # halves its HBM footprint. 0/1 binarized values are exact in bf16.
+        # halves its HBM footprint (the encoder casts inputs to bf16 first
+        # regardless, so this adds no extra rounding).
         imgs = imgs.astype(jnp.bfloat16)
     return bank._replace(images=imgs)
 
@@ -142,7 +143,7 @@ def make_cache_refresh(model, cfg: Config):
         imgs = preprocess_batch(key, bank_images_raw,
                                 input_type=cfg.input_type,
                                 dynamic_binarization=cfg.dynamic_binarization,
-                                train=True)
+                                train=cfg.bank_stochastic_preprocess)
         means = encode_bank(model, {"params": params}, imgs,
                             chunk=cfg.exact_reencode_chunk, remat=False)
         return jax.lax.stop_gradient(means)

@@ -146,7 +146,7 @@ class Experiment:
                 reps = -(-c // seed_imgs.shape[0])
                 seed_imgs = np.tile(seed_imgs, (reps, 1, 1, 1))[:c]
             if self.splits.train_x.dtype == np.uint8:
-                seed_imgs = seed_imgs / 255.0
+                seed_imgs = seed_imgs / 256.0  # same scale as ops/preprocess.to_float
             params = dict(self.state.params)
             params["pseudo_inputs"] = jax.device_put(seed_imgs, repl)
             self.state = self.state._replace(params=params)
@@ -218,7 +218,11 @@ class Experiment:
         return metrics
 
     def validate(self) -> tuple:
-        ekey = jax.random.fold_in(self.key, 1_000_000 + self.epoch)
+        # ONE fixed eval key per run (derived only from cfg.seed): together
+        # with the load-time eval binarization (data/loaders.EVAL_BIN_SEED)
+        # this makes validation deterministic given the params, so
+        # best-on-val / early stopping track the model, not eval noise.
+        ekey = jax.random.fold_in(self.key, 1_000_003)
         eval_bank = (self.build_eval_bank(self.state.params, self.bank, ekey)
                      if self.bank is not None else None)
         return self.elbo_eval(self.state.params, self.splits.val_x,

@@ -117,3 +117,19 @@ def test_prepare_celeba_roundtrip(tmp_path):
     assert ds.train_x.shape == (8, 64, 64, 3)
     assert ds.train_x.dtype == np.uint8
     assert ds.val_x.shape[0] == 1 and ds.test_x.shape[0] == 1
+
+
+def test_eval_splits_binarized_once_at_load():
+    """Dynamic-binarization datasets: val/test are fixed 0/1 samples drawn
+    once at load with EVAL_BIN_SEED (the reference's one-time seeded eval
+    binarization [U]); the train split keeps its gray levels for the fresh
+    per-step sample."""
+    cfg = Config(dataset_name="synthetic", training_set_size=64,
+                 val_set_size=16, test_set_size=16)
+    ds1, _ = load_dataset(cfg)
+    ds2, _ = load_dataset(cfg)
+    assert set(np.unique(ds1.val_x)) <= {0.0, 1.0}
+    assert set(np.unique(ds1.test_x)) <= {0.0, 1.0}
+    assert len(np.unique(ds1.train_x)) > 2
+    np.testing.assert_array_equal(ds1.val_x, ds2.val_x)
+    np.testing.assert_array_equal(ds1.test_x, ds2.test_x)

@@ -76,3 +76,27 @@ def test_static_mnist_loader_uses_amat(tmp_path, monkeypatch):
     assert ds.source == "real"
     assert ds.train_x.shape == (40, 28, 28, 1)
     assert set(np.unique(ds.train_x)) <= {0.0, 1.0}
+
+
+def test_amat_oversized_token_at_chunk_boundary_falls_back(tmp_path):
+    """A token longer than the 64-byte carry slack spanning the 1 MiB read
+    boundary must make the native parser bail (-1) instead of overflowing
+    its buffer; load_amat then falls back to numpy and still parses
+    correctly (round-2 ADVICE fix, native/ingest.cc)."""
+    p = tmp_path / "long_token.amat"
+    buf_size = 1 << 20
+    long_tok = "0." + "0" * 90 + "1"  # 93 chars, valid float, > 64-byte carry
+    # place the long token so it straddles the first fread boundary
+    n_lead = (buf_size - 40) // 2  # "0 " pairs end just before the boundary
+    with open(p, "w") as f:
+        f.write("0 " * n_lead)
+        f.write(long_tok + " ")
+        tail = 3 * ((n_lead + 1) // 3 + 1) - (n_lead + 1)
+        f.write("1 " * tail)  # pad so total count divides n_cols=3
+    total = n_lead + 1 + tail
+    assert total % 3 == 0
+    got = native_ingest.load_amat(str(p), n_cols=3)
+    assert got.shape == (total // 3, 3)
+    flat = got.reshape(-1)
+    assert flat[n_lead] == pytest.approx(float(long_tok))
+    assert flat[:n_lead].sum() == 0 and flat[n_lead + 1:].sum() == tail

@@ -1,0 +1,178 @@
+"""Trainable PyTorch twin of the flagship VAE + exact exemplar prior.
+
+From-scratch re-expression of the reference's full training/eval math in
+torch (the behavioral contract of SURVEY.md §0.1 — nothing is copied; the
+reference mount is empty). tools/parity_trajectory.py drives this twin and
+the JAX framework through the SAME multi-epoch training trajectory on
+identical data and identical noise and compares per-epoch val-ELBO, final
+IWAE NLL, and parameter trajectories — the pre-real-data de-risk of the
+0.1-nat parity target (round-1 VERDICT, next-round item 1).
+
+Everything the reference trajectory exercises is here, independently:
+  encoder -> reparameterize -> decoder -> Bernoulli RE -> log q
+  -> exact exemplar prior (full-bank re-encode, LOO mask, N-1 denominator)
+  -> loss = -RE + beta * KL -> backward
+  -> AdamNormGrad (per-tensor grad L2 normalization, then Adam)
+  -> per-epoch val ELBO (full bank, no LOO, denominator N)
+  -> IWAE test NLL (importance samples in rounds, online over rounds).
+
+Parameters are kept in the flax layout ((in, out) kernels; the fused
+GatedDense Dense(2f) splits into h/g halves) so weights copy across without
+transposition ambiguity. All math is fp32, like the JAX side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, name))
+        else:
+            out[name] = np.asarray(v)
+    return out
+
+
+class TorchTwin:
+    """Functional torch model over a flat dict of flax-layout parameters."""
+
+    def __init__(self, flax_params, lr=5e-4, betas=(0.9, 0.999),
+                 adam_eps=1e-8, norm_eps=1e-7):
+        import torch
+
+        self.torch = torch
+        self.norm_eps = norm_eps
+        self.p = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
+                  for k, v in _flatten(flax_params).items()}
+        self.z_dim = self.p["q_mean_head/kernel"].shape[1]
+        self.opt = torch.optim.Adam(list(self.p.values()), lr=lr,
+                                    betas=betas, eps=adam_eps)
+
+    # ---------------- model pieces (flax layout: y = x @ W + b) -----------
+    def _dense(self, x, name):
+        return x @ self.p[f"{name}/kernel"] + self.p[f"{name}/bias"]
+
+    def _gated(self, x, name):
+        hg = self._dense(x, f"{name}/Dense_0")
+        h, g = hg.chunk(2, dim=-1)
+        return h * self.torch.sigmoid(g)
+
+    def encode(self, x2d):
+        h = self._gated(x2d, "q_layers_0")
+        h = self._gated(h, "q_layers_1")
+        mean = self._dense(h, "q_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "q_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    def decode_probs(self, z):
+        h = self._gated(z, "p_layers_0")
+        h = self._gated(h, "p_layers_1")
+        return self.torch.sigmoid(self._dense(h, "p_mean_head/Dense_0"))
+
+    # ---------------- objective terms ------------------------------------
+    def _re_bernoulli(self, x2d, probs):
+        pc = probs.clamp(1e-5, 1.0 - 1e-5)
+        return (x2d * pc.log() + (1.0 - x2d) * (1.0 - pc).log()).sum(-1)
+
+    def _log_q(self, z, mean, logvar):
+        return (-0.5 * (logvar + (z - mean) ** 2 / logvar.exp())).sum(-1)
+
+    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom):
+        """Exact exemplar prior: differentiable full-bank re-encode,
+        pairwise isotropic log-normal, optional LOO mask, logsumexp."""
+        torch = self.torch
+        bank_mean, _ = self.encode(bank2d)
+        lv = self.p["prior_log_var"]
+        sq = torch.cdist(z, bank_mean) ** 2
+        logits = -0.5 * (self.z_dim * lv + sq * torch.exp(-lv))
+        if data_idx is not None:
+            mask = data_idx[:, None] == bank_idx[None, :]
+            logits = logits.masked_fill(mask, -1e30)
+        return torch.logsumexp(logits, dim=-1) - log_denom
+
+    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom):
+        """-> (RE, KL) per example, with injected reparam noise eps."""
+        q_mean, q_logvar = self.encode(x2d)
+        z = q_mean + self.torch.exp(0.5 * q_logvar) * eps
+        re = self._re_bernoulli(x2d, self.decode_probs(z))
+        log_q = self._log_q(z, q_mean, q_logvar)
+        log_p = self._log_p_exemplar(z, bank2d, data_idx, bank_idx, log_denom)
+        return re, log_q - log_p
+
+    # ---------------- training / evaluation ------------------------------
+    def train_step(self, x, idx, bank, eps, beta, n_bank):
+        """One AdamNormGrad step; x/bank NHWC float arrays, eps (B, Z)."""
+        torch = self.torch
+        x2d = torch.tensor(np.asarray(x, np.float32).reshape(len(x), -1))
+        bank2d = torch.tensor(
+            np.asarray(bank, np.float32).reshape(len(bank), -1))
+        re, kl = self.elbo_terms(
+            x2d, torch.tensor(np.asarray(eps, np.float32)), bank2d,
+            torch.tensor(np.asarray(idx, np.int64)),
+            torch.arange(len(bank)), math.log(n_bank - 1))
+        loss = (-re + beta * kl).mean()
+        self.opt.zero_grad()
+        loss.backward()
+        for t in self.p.values():  # AdamNormGrad: g <- g / (||g||_2 + 1e-7)
+            if t.grad is not None:
+                t.grad.div_(t.grad.norm() + self.norm_eps)
+        self.opt.step()
+        return float(loss)
+
+    def val_elbo(self, x, eps, bank, n_bank):
+        """Mean validation loss (-RE + KL), full bank, no LOO, denom N."""
+        torch = self.torch
+        with torch.no_grad():
+            x2d = torch.tensor(np.asarray(x, np.float32).reshape(len(x), -1))
+            bank2d = torch.tensor(
+                np.asarray(bank, np.float32).reshape(len(bank), -1))
+            re, kl = self.elbo_terms(
+                x2d, torch.tensor(np.asarray(eps, np.float32)), bank2d,
+                None, None, math.log(n_bank))
+            return (float((-re + kl).mean()), float((-re).mean()),
+                    float(kl.mean()))
+
+    def iwae_chunk(self, x, eps_rounds, bank, n_bank):
+        """Per-point NLL for one test chunk. eps_rounds: (rounds, T*R, Z);
+        importance weights a = RE - KL, online-LSE over rounds like the JAX
+        estimator (train/evaluation.py)."""
+        torch = self.torch
+        with torch.no_grad():
+            t = len(x)
+            rounds, tr, _ = eps_rounds.shape
+            r = tr // t
+            x2d = torch.tensor(np.asarray(x, np.float32).reshape(t, -1))
+            x_rep = x2d.repeat_interleave(r, dim=0)
+            bank2d = torch.tensor(
+                np.asarray(bank, np.float32).reshape(len(bank), -1))
+            m = torch.full((t,), -1e30)
+            s = torch.zeros(t)
+            for j in range(rounds):
+                re, kl = self.elbo_terms(
+                    x_rep, torch.tensor(np.asarray(eps_rounds[j], np.float32)),
+                    bank2d, None, None, math.log(n_bank))
+                a = (re - kl).reshape(t, r)
+                m_new = torch.maximum(m, a.max(dim=1).values)
+                s = s * torch.exp(m - m_new) + torch.exp(
+                    a - m_new[:, None]).sum(dim=1)
+                m = m_new
+            log_px = m + s.log() - math.log(rounds * r)
+            return (-log_px).numpy()
+
+    def snapshot(self):
+        return {k: v.detach().clone() for k, v in self.p.items()}
+
+    def load_snapshot(self, snap):
+        with self.torch.no_grad():
+            for k, v in snap.items():
+                self.p[k].copy_(v)
+
+    def params_numpy(self):
+        return {k: v.detach().numpy().copy() for k, v in self.p.items()}
