@@ -77,7 +77,8 @@ def baseline_images_per_sec(n_exemplars,
         if key in cache:
             return cache[key]
     from tools.torch_reference_baseline import measure_torch_baseline
-    ips = measure_torch_baseline(n_exemplars=n_exemplars, steps=2, warmup=1)
+    # >=20 timed steps, batch-only binarization (VERDICT r1 item 8)
+    ips = measure_torch_baseline(n_exemplars=n_exemplars, steps=20, warmup=3)
     cache[key] = ips
     with open(cache_path, "w") as f:
         json.dump(cache, f)

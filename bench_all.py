@@ -16,6 +16,65 @@ import sys
 import time
 
 
+BASELINE_CACHE = "bench_baseline_cache.json"
+
+
+def _cache():
+    import json as _json
+    import os as _os
+    if _os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return _json.load(f)
+    return {}
+
+
+def _cache_put(key, val):
+    import json as _json
+    c = _cache()
+    c[key] = val
+    with open(BASELINE_CACHE, "w") as f:
+        _json.dump(c, f, indent=1)
+
+
+def torch_baseline_for(label, cfg_kw):
+    """Per-config torch-CPU baseline (cached). VERDICT r1 item 8: every
+    BENCH_extra row gets a vs_baseline; exact-conv rows use a documented
+    linear-in-N extrapolation (tools/torch_reference_baseline.py)."""
+    from tools.torch_reference_baseline import (
+        extrapolated_exact_baseline, measure_torch_config)
+    n = cfg_kw.get("number_components", 0)
+    model = cfg_kw.get("model_name", "vae")
+    prior = cfg_kw.get("prior", "exemplar_prior")
+    approx = cfg_kw.get("approximate_prior", False)
+    ds = cfg_kw.get("dataset_name", "synthetic")
+    shape = (3, 64, 64) if "continuous" in ds else (1, 28, 28)
+    itype = ("continuous" if "continuous" in ds
+             else "gray" if "gray" in ds else "binary")
+    key = (f"{model}_{prior}_N{n}_approx{int(approx)}"
+           f"_k{cfg_kw.get('approximate_k', 0)}_{itype}")
+    c = _cache()
+    if key in c:
+        return c[key], None
+    detail = None
+    if model == "convhvae_2level" and not approx:
+        ips, detail = extrapolated_exact_baseline(shape, itype, n)
+    else:
+        kw = dict(model_name=model, n_exemplars=max(n, 1000),
+                  d_shape=shape, input_type=itype, prior=prior,
+                  approximate=approx, k=cfg_kw.get("approximate_k", 10))
+        if prior == "vampprior":
+            kw["n_pseudo"] = n
+            kw["n_exemplars"] = cfg_kw.get("training_set_size", 50_000)
+        slow = model == "convhvae_2level" or shape[0] == 3
+        kw.update(dict(min_steps=5 if slow else 20, warmup=1 if slow else 3,
+                       budget_s=240.0))
+        ips, _ = measure_torch_config(**kw)
+    _cache_put(key, ips)
+    if detail:
+        _cache_put(key + "_detail", detail)
+    return ips, detail
+
+
 def measure(cfg_kw, timed_steps, label):
     import jax
     import jax.numpy as jnp
@@ -107,7 +166,17 @@ def main(argv=None):
         try:
             # heavy exact-conv configs get fewer timed steps
             cfg_steps = 10 if label.startswith("4:") else steps
-            rows.append(measure(kw, cfg_steps, label))
+            row = measure(kw, cfg_steps, label)
+            try:
+                base, detail = torch_baseline_for(label, kw)
+                row["torch_cpu_images_per_sec"] = round(base, 2)
+                row["vs_baseline"] = round(
+                    row["images_per_sec_per_chip"] / base, 1)
+                if detail:
+                    row["baseline_note"] = detail
+            except Exception as e:
+                row["baseline_error"] = repr(e)[:200]
+            rows.append(row)
         except Exception as e:  # keep the suite going; record the failure
             rows.append({"config": label, "error": repr(e)[:300]})
             print(f"[bench_all] {label} FAILED: {e}", file=sys.stderr)

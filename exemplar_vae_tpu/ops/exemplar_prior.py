@@ -124,10 +124,11 @@ def _pairwise_lse_fwd_impl(z, means, log_var, data_idx, ex_idx, valid,
     z = z.astype(jnp.float32)
     means = means.astype(jnp.float32)
     log_var = log_var.astype(jnp.float32)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_bf16"):
         from exemplar_vae_tpu.ops.pallas_lse import pairwise_lse_pallas
+        in_dt = jnp.bfloat16 if impl == "pallas_bf16" else jnp.float32
         return pairwise_lse_pallas(z, means, log_var, data_idx, ex_idx, valid,
-                                   block_n=block_n)
+                                   block_n=block_n, in_dtype=in_dt)
     if impl == "scan":
         return _lse_scan(z, means, log_var, data_idx, ex_idx, valid, block_n)
     return _lse_naive(z, means, log_var, data_idx, ex_idx, valid)
@@ -232,7 +233,8 @@ def exemplar_log_prob(
       data_idx: (B,) global dataset indices of the batch (enables LOO).
       exemplar_idx: (N,) global dataset indices of the exemplars.
       valid: (N,) bool; False entries are padding and always masked.
-      impl: 'naive' | 'scan' | 'pallas'.
+      impl: 'naive' | 'scan' | 'pallas' | 'pallas_bf16' (bf16 kernel inputs,
+        fp32 accumulation — throughput-oriented eval; parity runs use fp32).
       block_n: exemplar-axis tile size for scan/pallas.
 
     Returns:

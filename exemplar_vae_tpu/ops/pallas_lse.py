@@ -53,13 +53,16 @@ def _lse_kernel(z_ref, mu_ref, lv_ref, didx_ref, eidx_ref, out_ref,
         s_scr[:] = jnp.zeros_like(s_scr)
 
     log_var = lv_ref[0, 0]
-    z = z_ref[:]                                   # (TB, Dp)
-    mu = mu_ref[:]                                 # (TN, Dp)
+    z = z_ref[:]                                   # (TB, Dp) fp32 or bf16
+    mu = mu_ref[:]                                 # (TN, Dp) fp32 or bf16
+    # bf16 inputs ride the MXU natively; accumulation is always fp32
     cross = jax.lax.dot_general(
         z, mu, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # (TB, TN)
-    z_sq = jnp.sum(z * z, axis=-1, keepdims=True)  # (TB, 1)
-    mu_sq = jnp.sum(mu * mu, axis=-1)[None, :]     # (1, TN)
+    z32 = z.astype(jnp.float32)
+    mu32 = mu.astype(jnp.float32)
+    z_sq = jnp.sum(z32 * z32, axis=-1, keepdims=True)  # (TB, 1)
+    mu_sq = jnp.sum(mu32 * mu32, axis=-1)[None, :]     # (1, TN)
     sq = jnp.maximum(z_sq + mu_sq - 2.0 * cross, 0.0)
     logits = -0.5 * (true_d * log_var + sq * jnp.exp(-log_var))
 
@@ -82,16 +85,25 @@ def _lse_kernel(z_ref, mu_ref, lv_ref, didx_ref, eidx_ref, out_ref,
 
 
 def pairwise_lse_pallas(z, means, log_var, data_idx, ex_idx, valid,
-                        *, block_n: int = 2048, block_b: int = 128,
-                        interpret: bool | None = None):
+                        *, block_n: int = 2048, block_b: int = 0,
+                        in_dtype=jnp.float32, interpret: bool | None = None):
     """Public entry. Shapes: z (B, D); means (N, D); log_var scalar;
     data_idx (B,) int32 or None; ex_idx (N,) int32; valid (N,) bool.
-    Returns (B,) fp32 logsumexp (no denominator)."""
+    Returns (B,) fp32 logsumexp (no denominator).
+
+    block_b=0 auto-picks the batch tile: the bank streams from HBM once per
+    batch tile, so large-B (eval) calls want big tiles — measured on v5e,
+    tb=512 cuts the B=32k bank traffic 4x vs tb=128 (docs/DESIGN.md §8).
+    in_dtype=bfloat16 halves bank HBM traffic and rides the MXU at bf16
+    rate; the LSE accumulation stays fp32 (use for throughput-oriented
+    eval only — parity runs keep fp32 inputs)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, d = z.shape
     n = means.shape[0]
     true_d = d
+    if block_b <= 0:
+        block_b = 512 if b >= 2048 else 128
 
     # pad D to the lane width — zero padding is exact for squared distances
     dp = _round_up(max(d, 128), 128)
@@ -101,8 +113,8 @@ def pairwise_lse_pallas(z, means, log_var, data_idx, ex_idx, valid,
     tn = min(block_n, _round_up(n, 128))
     np_ = _round_up(max(n, tn), tn)
 
-    z_p = jnp.pad(z.astype(jnp.float32), ((0, bp - b), (0, dp - d)))
-    mu_p = jnp.pad(means.astype(jnp.float32), ((0, np_ - n), (0, dp - d)))
+    z_p = jnp.pad(z.astype(in_dtype), ((0, bp - b), (0, dp - d)))
+    mu_p = jnp.pad(means.astype(in_dtype), ((0, np_ - n), (0, dp - d)))
     if data_idx is None:
         didx = jnp.full((bp, 1), NO_LOO_IDX, jnp.int32)
     else:

@@ -42,6 +42,17 @@ def test_matches_oracle_no_mask(problem, impl):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_bf16_matches_oracle_loosely(problem):
+    """bf16-input kernel variant: same math, bf16 rounding of z/mu only
+    (fp32 accumulation) — must track the fp32 oracle to bf16 tolerance."""
+    z, mu, lv, _, eidx = problem
+    want = oracle(z, mu, lv, log_denom=jnp.log(float(N)))
+    got = exemplar_log_prob(z, mu, lv, log_denom=jnp.log(float(N)),
+                            impl="pallas_bf16", block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 def test_loo_mask_removes_own_component(problem, impl):
     z, mu, lv, didx, eidx = problem

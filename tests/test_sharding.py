@@ -84,6 +84,41 @@ def test_end_to_end_sharded_equals_single_device_epoch(eight_devices, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_multi_device_eval_equals_single_device(eight_devices, tmp_path):
+    """VERDICT r1 item 7: validation ELBO and IWAE NLL computed on the
+    8-device mesh (sharded+padded eval bank) must equal the single-device
+    values — padding rows are masked and the denominator is n_effective,
+    so the mesh only changes WHERE the LSE partial sums are computed."""
+    from exemplar_vae_tpu.train.trainer import Experiment
+    base = dict(dataset_name="synthetic", training_set_size=100,
+                val_set_size=64, test_set_size=24, number_components=100,
+                batch_size=20, warmup=2, epochs=1, S=8, MB=4,
+                test_batch_size=12, use_pallas_prior=False, prior_block_n=32,
+                exact_reencode_chunk=32, hidden_size=32, z1_size=8,
+                model_name="vae", prior="exemplar_prior",
+                snapshot_dir=str(tmp_path))
+    e1 = Experiment(Config(mesh_shape=(1,), **base), verbose=False)
+    e8 = Experiment(Config(mesh_shape=(8,), **base), verbose=False)
+    # identical params on both (same seed => same init, but make it explicit)
+    e8.state = e8.state._replace(params=jax.device_put(
+        jax.device_get(e1.state.params)))
+
+    v1 = e1.validate()
+    v8 = e8.validate()
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8),
+                               rtol=1e-5, atol=1e-5)
+
+    fkey = jax.random.fold_in(e1.key, 999_983)
+    b1 = e1.build_eval_bank(e1.state.params, e1.bank, fkey)
+    b8 = e8.build_eval_bank(e8.state.params, e8.bank, fkey)
+    nll1, per1 = e1.iwae(e1.state.params, e1.splits.test_x,
+                         jax.random.fold_in(fkey, 1), b1)
+    nll8, per8 = e8.iwae(e8.state.params, e8.splits.test_x,
+                         jax.random.fold_in(fkey, 1), b8)
+    np.testing.assert_allclose(per1, per8, rtol=1e-5, atol=1e-4)
+    assert abs(nll1 - nll8) < 1e-4
+
+
 def test_sharded_approximate_prior_matches_replicated(eight_devices, tmp_path):
     """Approx-kNN mode with SHARDED cache+bank == the replicated path:
     same selection, same gathered exemplars, same loss after one epoch.
