@@ -52,13 +52,14 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
     ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
                                 steps=timed_steps, batch=batch)
     beta = jnp.float32(1.0)
+    from exemplar_vae_tpu.train.profiling import fetch_sync
     # warmup/compile with the SAME static shapes as the timed run
     st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
-    jax.block_until_ready(st.params)
+    fetch_sync(st.params)
     t0 = time.perf_counter()
     st, metrics = exp.epoch_fn(st, ex, eidx, exp.bank,
                                jax.random.fold_in(ekey, 1), beta)
-    jax.block_until_ready(st.params)
+    fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = time.perf_counter() - t0
     ips = timed_steps * batch / dt
     dps = ips * n_exemplars  # exemplar-prior distances/sec

@@ -80,6 +80,7 @@ class Config:
     val_set_size: int = 10_000
     test_set_size: int = 10_000
     checkpoint_every: int = 0            # epochs; 0 = only best/final
+    checkpoint_backend: str = "npz"      # npz (simple) | orbax (async, multi-host)
     resume: bool = False
     debug_nans: bool = False             # NaN sanitizer (jax_debug_nans)
     profile_epoch: int = 0               # capture a jax.profiler trace of this epoch
@@ -105,8 +106,8 @@ class Config:
         "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
         "prior_block_n", "exact_reencode_chunk", "exact_remat", "donate_state",
-        "data_dir", "snapshot_dir", "checkpoint_every", "resume",
-        "debug_nans", "profile_epoch",
+        "data_dir", "snapshot_dir", "checkpoint_every", "checkpoint_backend",
+        "resume", "debug_nans", "profile_epoch",
     })
 
     def experiment_name(self) -> str:
@@ -180,6 +181,8 @@ def reference_arg_parser():
     p.add_argument("--data_dir", type=str, default=d.data_dir)
     p.add_argument("--snapshot_dir", type=str, default=d.snapshot_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
+    p.add_argument("--checkpoint_backend", type=str,
+                   default=d.checkpoint_backend, choices=["npz", "orbax"])
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug_nans", action="store_true",
                    help="raise at the op producing any NaN inside jit")
@@ -218,6 +221,7 @@ def config_from_args(ns) -> Config:
         data_dir=ns.data_dir,
         snapshot_dir=ns.snapshot_dir,
         checkpoint_every=ns.checkpoint_every,
+        checkpoint_backend=ns.checkpoint_backend,
         resume=ns.resume,
         debug_nans=ns.debug_nans,
         profile_epoch=ns.profile_epoch,

@@ -21,8 +21,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from exemplar_vae_tpu.config import Config
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host scaffolding: join the jax.distributed cluster when the
+    standard coordinator env vars are set (single-controller JAX stays the
+    default — SURVEY.md §2.3 'launcher/elastic' row).
+
+    Set JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or rely on the TPU metadata autodetection) on every
+    host of a multi-host pod before launching main.py; each process then
+    sees its local chips and `jax.devices()` spans the pod, so the same
+    ('data',) mesh code scales out with zero further changes. Returns True
+    iff initialize() was called. Idempotent.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    import os
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    kw = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
+
 def create_mesh(cfg: Config) -> Mesh:
     """Build the ('data',) mesh from cfg.mesh_shape over available devices."""
+    maybe_init_distributed()
     n = int(np.prod(cfg.mesh_shape))
     devices = jax.devices()[:n]
     if len(devices) < n:

@@ -66,17 +66,56 @@ def _load_tree(path, template):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def _save_orbax(d, tree_dict):
+    """Orbax backend (cfg.checkpoint_backend='orbax'): async-capable,
+    multi-host-coordinated saves — the right backend once a run spans
+    processes (mesh.maybe_init_distributed). One StandardCheckpointer save
+    of the combined {state, best_params, cache} pytree."""
+    path = os.path.abspath(os.path.join(d, "orbax"))
+    ckptr = _orbax_checkpointer()
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)  # orbax refuses to overwrite an existing step
+    ckptr.save(path, tree_dict)
+    ckptr.wait_until_finished()
+
+
+def _restore_orbax(d, template_dict):
+    ckptr = _orbax_checkpointer()
+    path = os.path.abspath(os.path.join(d, "orbax"))
+    try:
+        return ckptr.restore(path, template_dict)
+    except Exception as e:  # structure/shape drift must fail loudly
+        raise CheckpointMismatch(f"orbax restore failed for {path}: {e}")
+
+
 def save_checkpoint(exp, tag: str = "last"):
     d = os.path.join(exp.exp_dir, f"ckpt_{tag}")
     os.makedirs(d, exist_ok=True)
-    _save_tree(os.path.join(d, "state.npz"), exp.state)
-    _save_tree(os.path.join(d, "best_params.npz"), exp.best_params)
-    if exp.bank is not None and exp.bank.cache_means is not None:
-        tmp = os.path.join(d, "cache.npz.tmp.npz")
-        np.savez(tmp, cache=np.asarray(jax.device_get(exp.bank.cache_means)))
-        os.replace(tmp, os.path.join(d, "cache.npz"))
+    cache = (np.asarray(jax.device_get(exp.bank.cache_means))
+             if exp.bank is not None and exp.bank.cache_means is not None
+             else None)
+    if getattr(exp.cfg, "checkpoint_backend", "npz") == "orbax":
+        tree = {"state": jax.device_get(exp.state),
+                "best_params": jax.device_get(exp.best_params)}
+        if cache is not None:
+            tree["cache"] = cache
+        _save_orbax(d, tree)
+    else:
+        _save_tree(os.path.join(d, "state.npz"), exp.state)
+        _save_tree(os.path.join(d, "best_params.npz"), exp.best_params)
+        if cache is not None:
+            tmp = os.path.join(d, "cache.npz.tmp.npz")
+            np.savez(tmp, cache=cache)
+            os.replace(tmp, os.path.join(d, "cache.npz"))
     meta = {"epoch": exp.epoch, "best_val": exp.best_val,
-            "bad_epochs": exp.bad_epochs}
+            "bad_epochs": exp.bad_epochs,
+            "backend": getattr(exp.cfg, "checkpoint_backend", "npz")}
     tmp = os.path.join(d, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -90,13 +129,26 @@ def restore_checkpoint(exp, tag: str = "last") -> bool:
         return False
     with open(meta_p) as f:
         meta = json.load(f)
-    exp.state = _load_tree(os.path.join(d, "state.npz"), exp.state)
-    exp.best_params = _load_tree(os.path.join(d, "best_params.npz"),
-                                 exp.best_params)
-    cache_p = os.path.join(d, "cache.npz")
-    if exp.bank is not None and os.path.exists(cache_p):
-        exp.bank = exp.bank._replace(
-            cache_means=np.load(cache_p)["cache"])
+    if meta.get("backend", "npz") == "orbax":
+        template = {"state": jax.device_get(exp.state),
+                    "best_params": jax.device_get(exp.best_params)}
+        has_cache = exp.bank is not None and exp.bank.cache_means is not None
+        if has_cache:
+            template["cache"] = np.asarray(
+                jax.device_get(exp.bank.cache_means))
+        restored = _restore_orbax(d, template)
+        exp.state = TrainState(*restored["state"])
+        exp.best_params = restored["best_params"]
+        if has_cache and "cache" in restored:
+            exp.bank = exp.bank._replace(cache_means=restored["cache"])
+    else:
+        exp.state = _load_tree(os.path.join(d, "state.npz"), exp.state)
+        exp.best_params = _load_tree(os.path.join(d, "best_params.npz"),
+                                     exp.best_params)
+        cache_p = os.path.join(d, "cache.npz")
+        if exp.bank is not None and os.path.exists(cache_p):
+            exp.bank = exp.bank._replace(
+                cache_means=np.load(cache_p)["cache"])
     exp.epoch = int(meta["epoch"])
     exp.best_val = float(meta["best_val"])
     exp.bad_epochs = int(meta["bad_epochs"])

@@ -85,25 +85,54 @@ def make_elbo_eval_fn(model, cfg: Config):
     return evaluate
 
 
-def make_iwae_fn(model, cfg: Config):
+def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
     """Importance-weighted NLL, S samples per point (reference
-    calculate_likelihood [U])."""
+    calculate_likelihood [U]). force_generic disables the encode-once
+    fast path (used by tests to pin the two paths against each other)."""
+
+    # Encode-once fast path for single-level models: q(z|x) does not depend
+    # on the importance sample, so the encoder runs ONCE per chunk (t rows)
+    # instead of once per round on t*r repeated rows; the per-round work is
+    # sample -> decode -> prior only. Bitwise-identical to the generic path:
+    # repeated encoder rows are row-independent GEMMs and the reparam draw
+    # uses the same key/shape (tools/parity_trajectory.py replays it).
+    fast_single_level = cfg.model_name.lower() == "vae" and not force_generic
 
     @functools.partial(jax.jit, static_argnames=("rounds", "r"))
     def chunk_nll(params, x_chunk_raw, key, bank, rounds: int, r: int):
+        from exemplar_vae_tpu.models.base import (
+            reconstruction_log_lik, reparameterize)
+        from exemplar_vae_tpu.ops.distributions import log_normal_diag
+        from exemplar_vae_tpu.train.loss import eval_log_p_top
+
         k_bin, k_s = jax.random.split(key)
         x = preprocess_batch(k_bin, x_chunk_raw, input_type=cfg.input_type,
                              dynamic_binarization=cfg.dynamic_binarization,
                              train=False)
         t = x.shape[0]
         x_rep = jnp.repeat(x, r, axis=0)
+        if fast_single_level:
+            q_mean, q_logvar = model.apply({"params": params}, x,
+                                           method="encode_top")
+            mu_rep = jnp.repeat(q_mean, r, axis=0)
+            lv_rep = jnp.repeat(q_logvar, r, axis=0)
 
         def body(carry, i):
             m, s = carry
             kz = jax.random.fold_in(k_s, i)
-            re, kl, _ = elbo_terms(model, {"params": params}, x_rep, kz, cfg,
-                                   bank=bank, train=False)
-            a = (re - kl).reshape(t, r)
+            if fast_single_level:
+                z = reparameterize(kz, mu_rep, lv_rep)
+                x_mean, x_logvar = model.apply({"params": params}, z,
+                                               method="decode")
+                re = reconstruction_log_lik(x_rep, x_mean, x_logvar,
+                                            cfg.input_type)
+                log_q = log_normal_diag(z, mu_rep, lv_rep)
+                log_p = eval_log_p_top(model, {"params": params}, z, cfg, bank)
+                a = (re - (log_q - log_p)).reshape(t, r)
+            else:
+                re, kl, _ = elbo_terms(model, {"params": params}, x_rep, kz,
+                                       cfg, bank=bank, train=False)
+                a = (re - kl).reshape(t, r)
             m_t = jnp.max(a, axis=1)
             m_new = jnp.maximum(m, m_t)
             s_new = s * jnp.exp(m - m_new) + jnp.sum(
@@ -123,11 +152,20 @@ def make_iwae_fn(model, cfg: Config):
 
         When S is not divisible by the round size r, rounds are CEIL-divided
         so at least S samples are always used (rounds*r >= S; the estimator
-        normalizes by rounds*r, so it stays consistent either way)."""
+        normalizes by rounds*r, so it stays consistent either way).
+
+        chunk autotune: each compiled round materializes chunk*r input rows
+        (x repeated per importance sample) plus activations, so the chunk is
+        capped to keep that working set ~ a fixed HBM budget — at MNIST
+        shapes the default test_batch_size stands, at CelebA (d_in 12288)
+        the cap kicks in instead of OOMing."""
         s_total = s_total or cfg.S
         r = min(r or cfg.MB, s_total)
         rounds = max(-(-s_total // r), 1)
-        chunk = chunk or cfg.test_batch_size
+        if chunk is None:
+            d_in = int(np.prod(test_images_raw.shape[1:]))
+            rows_budget = max(4096, 268_435_456 // (d_in * 4))  # ~256MB fp32
+            chunk = max(1, min(cfg.test_batch_size, rows_budget // r))
         n = test_images_raw.shape[0]
         nlls = []
         for i, start in enumerate(range(0, n, chunk)):

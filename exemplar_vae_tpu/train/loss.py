@@ -129,9 +129,20 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
             method="log_p_z_top")
 
     # eval: precomputed exact means, no LOO
+    return eval_log_p_top(model, variables, out.z_top, cfg, bank)
+
+
+def eval_log_p_top(model, variables, z, cfg: Config, bank: Optional[Bank]):
+    """log p(z_top) at EVAL: full precomputed bank, no LOO, denominator N
+    (reference eval protocol, SURVEY.md §3.2). Shared by elbo_terms and the
+    encode-once IWAE fast path (train/evaluation.py)."""
+    if cfg.prior != "exemplar_prior":
+        return model.apply(variables, z, method="log_p_z_top")
+    impl = "pallas" if cfg.use_pallas_prior else "scan"
     return model.apply(
-        variables, out.z_top, bank_means=bank.cache_means, data_idx=None,
-        exemplar_idx=bank.data_idx, valid=bank.valid, log_denom=log_denom,
+        variables, z, bank_means=bank.cache_means, data_idx=None,
+        exemplar_idx=bank.data_idx, valid=bank.valid,
+        log_denom=bank_log_denom(cfg, bank, False),
         impl=impl, block_n=cfg.prior_block_n, method="log_p_z_top")
 
 

@@ -36,6 +36,21 @@ def nan_debug(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
 
 
+def fetch_sync(out) -> float:
+    """Synchronize by FETCHING one scalar of ``out`` to the host.
+
+    On the tunneled axon TPU platform ``block_until_ready`` was observed to
+    return before execution finished for some computations (large-output
+    matmuls timed at a physically impossible 45 PFLOP/s), while a
+    device->host element fetch always waits for the real result. Every
+    timing harness in this repo ends its timed region with this instead of
+    (or in addition to) block_until_ready.
+    """
+    import jax.numpy as jnp
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 class StepTimer:
     """Throughput meter around compiled steps.
 

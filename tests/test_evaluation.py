@@ -49,6 +49,31 @@ def test_iwae_single_sample_equals_elbo_sample(setup):
     assert np.isfinite(per_point).all()
 
 
+@pytest.mark.parametrize("prior", ["standard", "exemplar_prior"])
+def test_fast_iwae_path_matches_generic(setup, prior):
+    """Encode-once fast path == generic per-round re-encode path: the
+    encoder is row-independent and the reparam key discipline is identical,
+    so per-point NLLs must agree to float tolerance."""
+    cfg, m, params, x = setup
+    cfg = cfg.replace(prior=prior)
+    m2 = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    v = m2.init(k, x, k)
+    eb = None
+    if prior == "exemplar_prior":
+        bank = Bank(images=jnp.asarray(x),
+                    data_idx=jnp.arange(32, dtype=jnp.int32),
+                    valid=jnp.ones(32, bool), cache_means=None,
+                    n_effective=32)
+        eb = make_eval_bank_fn(m2, cfg)(v["params"], bank, k)
+    key = jax.random.PRNGKey(11)
+    fast = make_iwae_fn(m2, cfg)
+    slow = make_iwae_fn(m2, cfg, force_generic=True)
+    nll_f, per_f = fast(v["params"], np.asarray(x), key, eb, s_total=32, r=8)
+    nll_s, per_s = slow(v["params"], np.asarray(x), key, eb, s_total=32, r=8)
+    np.testing.assert_allclose(per_f, per_s, rtol=1e-5, atol=1e-5)
+
+
 def test_eval_bank_no_loo_full_denominator(setup):
     """Exemplar eval bank: precomputed means, denominator N (not N-1)."""
     cfg, m, params, x = setup

@@ -79,6 +79,32 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert exp2.epoch == 2
 
 
+def test_checkpoint_orbax_backend_roundtrip(tmp_path):
+    """Orbax backend (async/multi-host-capable option): same roundtrip
+    contract as npz — params, epoch, best_val, and the approx cache all
+    restore exactly."""
+    cfg = _base(tmp_path, epochs=2, prior="exemplar_prior",
+                approximate_prior=True, approximate_k=4,
+                checkpoint_backend="orbax")
+    exp = Experiment(cfg, verbose=False)
+    exp.train_epoch()
+    exp.best_val = 77.0
+    exp.save_checkpoint()
+    params_before = jax.device_get(exp.state.params)
+    cache_before = np.asarray(exp.bank.cache_means)
+
+    exp2 = Experiment(cfg, verbose=False)
+    exp2.train_epoch()  # cache becomes non-None so the template includes it
+    assert exp2.restore_checkpoint()
+    assert exp2.epoch == 1 and exp2.best_val == 77.0
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(exp2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(cache_before, np.asarray(exp2.bank.cache_means))
+    exp2.train_epoch()
+    assert exp2.epoch == 2
+
+
 def test_approximate_cache_is_stale_by_one_epoch(tmp_path):
     """The cache used in epoch e is encoded with params from the END of
     epoch e-1 (SURVEY.md §3.5 staleness semantics)."""

@@ -33,13 +33,14 @@ def time_variant(label, cfg_kw, steps=200):
     ekey = jax.random.fold_in(exp.key, 1)
     ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
                                 steps=steps, batch=cfg.batch_size)
+    from exemplar_vae_tpu.train.profiling import fetch_sync
     beta = jnp.float32(1.0)
     st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
-    jax.block_until_ready(st.params)
+    fetch_sync(st.params)
     t0 = time.perf_counter()
     st, m = exp.epoch_fn(st, ex, eidx, exp.bank,
                          jax.random.fold_in(ekey, 2), beta)
-    jax.block_until_ready(st.params)
+    fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = (time.perf_counter() - t0) / steps * 1e3
     print(f"{label:55s} {dt:8.3f} ms/step  ({steps*cfg.batch_size/(dt*steps/1e3):8.0f} img/s)",
           flush=True)

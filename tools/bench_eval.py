@@ -1,7 +1,9 @@
 """IWAE-evaluation throughput (the most expensive single call in the
 reference — SURVEY.md §3.2). Measures test-points/sec at bench scale.
 
-    /opt/venv/bin/python tools/bench_eval.py [S] [MB]
+    /opt/venv/bin/python tools/bench_eval.py [S] [MB] [n_test] [impl]
+
+impl: pallas (default) | scan — A/Bs the prior kernel at eval shapes.
 """
 
 from __future__ import annotations
@@ -22,12 +24,15 @@ def main():
 
     s_total = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     r = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_test = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    impl = sys.argv[4] if len(sys.argv) > 4 else "pallas"
     n = 50_000
     cfg = Config(dataset_name="synthetic", model_name="vae",
                  prior="exemplar_prior", number_components=n,
-                 training_set_size=n, val_set_size=256, test_set_size=512,
+                 training_set_size=n, val_set_size=256, test_set_size=n_test,
                  batch_size=100, hidden_size=300, z1_size=40,
                  S=s_total, MB=r, test_batch_size=128,
+                 use_pallas_prior=(impl == "pallas"),
                  compute_dtype="bfloat16", exact_reencode_chunk=0,
                  exact_remat=False, snapshot_dir="/tmp/bench_eval_snap")
     exp = Experiment(cfg, verbose=False)

@@ -27,13 +27,21 @@ import numpy as np
 from exemplar_vae_tpu.ops.exemplar_prior import exemplar_log_prob
 
 
+def _sync(out):
+    """Force a device->host fetch: on the tunneled axon platform
+    block_until_ready can return before execution finishes (observed on
+    large-output matmuls); fetching a scalar element always synchronizes."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def time_fn(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

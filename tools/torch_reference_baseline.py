@@ -254,13 +254,19 @@ def measure_torch_config(model_name="vae", n_exemplars=50_000, batch=100,
         return (torch.floor(x * 255) + torch.rand_like(x)) / 256.0
 
     # approximate mode: stale cache computed OUTSIDE the timed loop (the
-    # reference refreshes it once per epoch, ~N/batch steps)
+    # reference refreshes it once per epoch, ~N/batch steps). The cache's
+    # CONTENT doesn't affect step timing (same top-k / gather / re-encode
+    # cost for any values), so it's built by tiling a 4096-row encode —
+    # encoding a 200k conv bank on this CPU would take ~25 min for a
+    # number that is never read for its values.
     cache = None
     if approximate:
         with torch.no_grad():
-            chunks = [model.encode_top(data[i:i + 2048])[0]
-                      for i in range(0, n_exemplars, 2048)]
-            cache = torch.cat(chunks)
+            probe_n = min(n_exemplars, 4096)
+            probe = model.encode_top(data[:probe_n])[0]
+            reps = -(-n_exemplars // probe_n)
+            cache = probe.repeat(reps, 1)[:n_exemplars].contiguous()
+            cache += 0.01 * torch.randn_like(cache)  # break exact ties
 
     def prior_log_p(ztop, x_idx):
         if prior == "standard":
