@@ -31,3 +31,25 @@ def test_multi_epoch_training_trajectory_matches_torch(tmp_path):
     assert out["max_param_diff"] < 1e-4, out
     # and training actually progressed (the comparison is not vacuous)
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
+def test_hvae_trajectory_matches_torch(tmp_path):
+    """Same end-to-end agreement for the 2-level model: additionally pins
+    the level-1 sampled-KL convention (q(z1|x,z2) vs p(z1|z2) rides inside
+    KL), the (k2, k1) key-split order, and the q/p logvar clamps.
+
+    Tolerances are looser than the VAE case (0.1 vs 0.02 nats): a single
+    HVAE forward matches to ~1e-4 (pure fp32 round-off, verified while
+    building the twin), but AdamNormGrad's per-tensor gradient
+    normalization amplifies that noise chaotically over steps — measured
+    drift at 3 epochs is ~0.03 nats / 3e-3 params with NO systematic
+    component. A real convention bug (KL sign, clamp range, key order,
+    denominator) moves these numbers by whole nats."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     model_name="hvae_2level",
+                     snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 1e-1, out
+    assert out["nll_diff"] < 1e-1, out
+    assert out["max_param_diff"] < 3e-2, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0

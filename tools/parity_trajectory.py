@@ -49,26 +49,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                batch=64, warmup=3, S=8, MB=4, seed=7, snapshot_dir=None,
-               verbose=True):
-    """-> dict with per-epoch val losses for both frameworks + final diffs."""
+               model_name="vae", verbose=True):
+    """-> dict with per-epoch val losses for both frameworks + final diffs.
+
+    model_name: 'vae' (single level) or 'hvae_2level' (2-level factorization
+    — covers the level-1 sampled-KL conventions with TorchTwinHVAE)."""
     import jax
     import jax.numpy as jnp
 
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
-    from tools.torch_twin import TorchTwin, _flatten
+    from tools.torch_twin import TorchTwin, TorchTwinHVAE, _flatten
 
     tmp = snapshot_dir or tempfile.mkdtemp(prefix="parity_")
     cfg = Config(dataset_name="synthetic", dynamic_binarization_override=False,
                  training_set_size=n_train, val_set_size=val,
                  test_set_size=test, number_components=n_train,
-                 model_name="vae", prior="exemplar_prior", hidden_size=hidden,
-                 z1_size=z, batch_size=batch, test_batch_size=val,
+                 model_name=model_name, prior="exemplar_prior",
+                 hidden_size=hidden,
+                 z1_size=z, z2_size=z, batch_size=batch, test_batch_size=val,
                  warmup=warmup, epochs=epochs, early_stopping_epochs=epochs + 1,
                  S=S, MB=MB, seed=seed, use_pallas_prior=False,
                  prior_block_n=max(64, n_train // 4),
                  exact_reencode_chunk=max(64, n_train // 4),
                  snapshot_dir=tmp)
+    two_level = model_name != "vae"
 
     # ---------------- JAX side: the real framework -----------------------
     exp = Experiment(cfg, verbose=False)
@@ -85,12 +90,22 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     jax_best = _flatten(exp.best_params)
 
     # ---------------- torch side: replay the same trajectory -------------
-    twin = TorchTwin(init_params, lr=cfg.lr)
+    twin = (TorchTwinHVAE if two_level else TorchTwin)(init_params, lr=cfg.lr)
     key = jax.random.PRNGKey(cfg.seed)
     bank = train_x[:n_train]
 
     def np_normal(k, shape):
         return np.asarray(jax.random.normal(k, shape, dtype=jnp.float32))
+
+    def draw_eps(k_z, b):
+        """Replay the model's reparam draws for one forward: the VAE uses
+        its key directly; the HVAE __call__ splits it into (k2, k1)
+        (models/hvae.py) — packed [eps2 | eps1] for the twin."""
+        if not two_level:
+            return np_normal(k_z, (b, z))
+        k2, k1 = jax.random.split(k_z)
+        return np.concatenate(
+            [np_normal(k2, (b, z)), np_normal(k1, (b, z))], axis=-1)
 
     def twin_val_elbo():
         vkey = jax.random.fold_in(jax.random.fold_in(key, 1_000_003), 5)
@@ -99,7 +114,7 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
         for i, start in enumerate(range(0, len(val_x), tb)):
             xb = val_x[start:start + tb]
             _, k_z = jax.random.split(jax.random.fold_in(vkey, i))
-            loss, _, _ = twin.val_elbo(xb, np_normal(k_z, (len(xb), z)),
+            loss, _, _ = twin.val_elbo(xb, draw_eps(k_z, len(xb)),
                                        bank, n_train)
             tot += loss * len(xb)
             n_seen += len(xb)
@@ -116,7 +131,7 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
         for i in range(steps):
             k_z = jax.random.split(jax.random.fold_in(skey, i), 3)[2]
             twin.train_step(train_x[perm[i]], perm[i], bank,
-                            np_normal(k_z, (batch, z)), beta, n_train)
+                            draw_eps(k_z, batch), beta, n_train)
         v = twin_val_elbo()
         torch_val.append(v)
         if v < best_val:
@@ -136,8 +151,8 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     for i, start in enumerate(range(0, len(test_x), tb)):
         xc = test_x[start:start + tb]
         _, k_s = jax.random.split(jax.random.fold_in(ikey, i))
-        eps = np.stack([np_normal(jax.random.fold_in(k_s, j),
-                                  (len(xc) * r, z)) for j in range(rounds)])
+        eps = np.stack([draw_eps(jax.random.fold_in(k_s, j), len(xc) * r)
+                        for j in range(rounds)])
         nlls.append(twin.iwae_chunk(xc, eps, bank, n_train))
     torch_nll = float(np.mean(np.concatenate(nlls)))
 

@@ -50,9 +50,12 @@ class TorchTwin:
         self.norm_eps = norm_eps
         self.p = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
                   for k, v in _flatten(flax_params).items()}
-        self.z_dim = self.p["q_mean_head/kernel"].shape[1]
+        self.z_dim = self._resolve_z_dim()
         self.opt = torch.optim.Adam(list(self.p.values()), lr=lr,
                                     betas=betas, eps=adam_eps)
+
+    def _resolve_z_dim(self):
+        return self.p["q_mean_head/kernel"].shape[1]
 
     # ---------------- model pieces (flax layout: y = x @ W + b) -----------
     def _dense(self, x, name):
@@ -176,3 +179,63 @@ class TorchTwin:
 
     def params_numpy(self):
         return {k: v.detach().numpy().copy() for k, v in self.p.items()}
+
+
+class TorchTwinHVAE(TorchTwin):
+    """Trainable torch twin of the 2-level MLP HVAE (models/hvae.py):
+    q(z2|x) q(z1|x,z2); p(z2)=exemplar prior, p(z1|z2), p(x|z1,z2); the
+    sampled level-1 KL term E_q[log q(z1|x,z2) - log p(z1|z2)] rides inside
+    KL exactly like ForwardOut.extra_kl. Injected noise is (eps2, eps1) —
+    the JAX side's __call__ splits its key into (k2, k1) in that order."""
+
+    def _resolve_z_dim(self):
+        return self.p["q_z2_mean_head/kernel"].shape[1]
+
+    # q(z2 | x) — the exemplar-prior encoder
+    def encode(self, x2d):
+        h = self._gated(x2d, "q_z2_layers_0")
+        h = self._gated(h, "q_z2_layers_1")
+        mean = self._dense(h, "q_z2_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "q_z2_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    def _q_z1(self, x2d, z2):
+        hx = self._gated(x2d, "q_z1_x")
+        hz = self._gated(z2, "q_z1_z2")
+        h = self._gated(self.torch.cat([hx, hz], -1), "q_z1_joint")
+        mean = self._dense(h, "q_z1_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "q_z1_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    def _p_z1(self, z2):
+        h = self._gated(z2, "p_z1_layers_0")
+        h = self._gated(h, "p_z1_layers_1")
+        mean = self._dense(h, "p_z1_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "p_z1_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    def decode_probs(self, z1, z2):
+        h1 = self._gated(z1, "p_x_z1")
+        h2 = self._gated(z2, "p_x_z2")
+        h = self._gated(self.torch.cat([h1, h2], -1), "p_x_joint")
+        return self.torch.sigmoid(self._dense(h, "p_x_mean_head/Dense_0"))
+
+    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom):
+        """eps is (B, 2*Z): [eps2 | eps1] packed by the caller."""
+        torch = self.torch
+        z = self.z_dim
+        eps2, eps1 = eps[:, :z], eps[:, z:]
+        q2_mean, q2_logvar = self.encode(x2d)
+        z2 = q2_mean + torch.exp(0.5 * q2_logvar) * eps2
+        q1_mean, q1_logvar = self._q_z1(x2d, z2)
+        z1 = q1_mean + torch.exp(0.5 * q1_logvar) * eps1
+        p1_mean, p1_logvar = self._p_z1(z2)
+        extra_kl = (self._log_q(z1, q1_mean, q1_logvar)
+                    - self._log_q(z1, p1_mean, p1_logvar))
+        re = self._re_bernoulli(x2d, self.decode_probs(z1, z2))
+        log_q = self._log_q(z2, q2_mean, q2_logvar)
+        log_p = self._log_p_exemplar(z2, bank2d, data_idx, bank_idx, log_denom)
+        return re, log_q - log_p + extra_kl
