@@ -96,15 +96,24 @@ class ConvHVAE(nn.Module, PriorMixin):
     def encode_top_mean(self, x):
         return self.encode_top(x)[0]
 
-    def q_z1(self, x, z2):
+    def q_z1_cache(self, x):
+        """x-only conv features of q(z1|x,z2) — computed once per test
+        point in the encode-once IWAE fast path (train/evaluation.py); the
+        whole q_z1 conv stack then stays out of the importance-sample loop."""
         h = x
         for layer in self.q_z1_conv:
             h = layer(h)
-        hx = h.reshape(h.shape[0], -1)
+        return h.reshape(h.shape[0], -1)
+
+    def q_z1_from_cache(self, hx, z2):
         hz = self.q_z1_z2(z2)
-        h = self.q_z1_joint(jnp.concatenate([hx, hz], axis=-1))
+        h = self.q_z1_joint(jnp.concatenate([hx.astype(hz.dtype), hz],
+                                            axis=-1))
         return (self.q_z1_mean_head(h).astype(jnp.float32),
                 self.q_z1_logvar_head(h).astype(jnp.float32))
+
+    def q_z1(self, x, z2):
+        return self.q_z1_from_cache(self.q_z1_cache(x), z2)
 
     # --- generative net ---
     def p_z1(self, z2):

@@ -69,12 +69,21 @@ class HVAE(nn.Module, PriorMixin):
     def encode_top_mean(self, x):
         return self.encode_top(x)[0]
 
-    def q_z1(self, x, z2):
-        hx = self.q_z1_x(x.reshape(x.shape[0], -1))
+    def q_z1_cache(self, x):
+        """x-only half of q(z1|x,z2) — computable once per test point and
+        reused across importance samples (encode-once IWAE fast path,
+        train/evaluation.py)."""
+        return self.q_z1_x(x.reshape(x.shape[0], -1))
+
+    def q_z1_from_cache(self, hx, z2):
         hz = self.q_z1_z2(z2)
-        h = self.q_z1_joint(jnp.concatenate([hx, hz], axis=-1))
+        h = self.q_z1_joint(jnp.concatenate([hx.astype(hz.dtype), hz],
+                                            axis=-1))
         return (self.q_z1_mean_head(h).astype(jnp.float32),
                 self.q_z1_logvar_head(h).astype(jnp.float32))
+
+    def q_z1(self, x, z2):
+        return self.q_z1_from_cache(self.q_z1_cache(x), z2)
 
     # --- generative net ---
     def p_z1(self, z2):

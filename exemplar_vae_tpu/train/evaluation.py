@@ -90,13 +90,20 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
     calculate_likelihood [U]). force_generic disables the encode-once
     fast path (used by tests to pin the two paths against each other)."""
 
-    # Encode-once fast path for single-level models: q(z|x) does not depend
-    # on the importance sample, so the encoder runs ONCE per chunk (t rows)
-    # instead of once per round on t*r repeated rows; the per-round work is
-    # sample -> decode -> prior only. Bitwise-identical to the generic path:
-    # repeated encoder rows are row-independent GEMMs and the reparam draw
-    # uses the same key/shape (tools/parity_trajectory.py replays it).
-    fast_single_level = cfg.model_name.lower() == "vae" and not force_generic
+    # Encode-once fast paths: everything that depends only on x — q(z|x)
+    # for the VAE; q(z2|x) AND the x-side (conv) features of q(z1|x,z2) for
+    # the 2-level models — runs ONCE per chunk (t rows) instead of once per
+    # round on t*r repeated rows. Per-round work shrinks to
+    # sample -> (p_z1/q_z1 mixing) -> decode -> prior; for ConvHVAE both
+    # encoder conv stacks leave the S-loop (~2.5x less model FLOPs/round).
+    # Bitwise-identical to the generic path: repeated encoder rows are
+    # row-independent GEMMs and the reparam draws use the same keys/shapes
+    # (the __call__ key-split order is mirrored; tools/parity_trajectory.py
+    # replays it).
+    model_kind = cfg.model_name.lower()
+    fast_single_level = model_kind == "vae" and not force_generic
+    fast_two_level = (model_kind in ("hvae_2level", "convhvae_2level")
+                      and not force_generic)
 
     @functools.partial(jax.jit, static_argnames=("rounds", "r"))
     def chunk_nll(params, x_chunk_raw, key, bank, rounds: int, r: int):
@@ -111,11 +118,14 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
                              train=False)
         t = x.shape[0]
         x_rep = jnp.repeat(x, r, axis=0)
-        if fast_single_level:
+        if fast_single_level or fast_two_level:
             q_mean, q_logvar = model.apply({"params": params}, x,
                                            method="encode_top")
             mu_rep = jnp.repeat(q_mean, r, axis=0)
             lv_rep = jnp.repeat(q_logvar, r, axis=0)
+        if fast_two_level:
+            hx = model.apply({"params": params}, x, method="q_z1_cache")
+            hx_rep = jnp.repeat(hx, r, axis=0)
 
         def body(carry, i):
             m, s = carry
@@ -129,6 +139,25 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
                 log_q = log_normal_diag(z, mu_rep, lv_rep)
                 log_p = eval_log_p_top(model, {"params": params}, z, cfg, bank)
                 a = (re - (log_q - log_p)).reshape(t, r)
+            elif fast_two_level:
+                # mirrors HVAE/ConvHVAE.__call__'s key-split order (k2, k1)
+                k2, k1 = jax.random.split(kz)
+                z2 = reparameterize(k2, mu_rep, lv_rep)
+                q1_mean, q1_logvar = model.apply(
+                    {"params": params}, hx_rep, z2, method="q_z1_from_cache")
+                z1 = reparameterize(k1, q1_mean, q1_logvar)
+                p1_mean, p1_logvar = model.apply({"params": params}, z2,
+                                                 method="p_z1")
+                extra_kl = (log_normal_diag(z1, q1_mean, q1_logvar)
+                            - log_normal_diag(z1, p1_mean, p1_logvar))
+                x_mean, x_logvar = model.apply({"params": params}, z1, z2,
+                                               method="decode")
+                re = reconstruction_log_lik(x_rep, x_mean, x_logvar,
+                                            cfg.input_type)
+                log_q = log_normal_diag(z2, mu_rep, lv_rep)
+                log_p = eval_log_p_top(model, {"params": params}, z2, cfg,
+                                       bank)
+                a = (re - (log_q - log_p + extra_kl)).reshape(t, r)
             else:
                 re, kl, _ = elbo_terms(model, {"params": params}, x_rep, kz,
                                        cfg, bank=bank, train=False)

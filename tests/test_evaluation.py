@@ -49,13 +49,16 @@ def test_iwae_single_sample_equals_elbo_sample(setup):
     assert np.isfinite(per_point).all()
 
 
+@pytest.mark.parametrize("model_name", ["vae", "hvae_2level",
+                                        "convhvae_2level"])
 @pytest.mark.parametrize("prior", ["standard", "exemplar_prior"])
-def test_fast_iwae_path_matches_generic(setup, prior):
-    """Encode-once fast path == generic per-round re-encode path: the
-    encoder is row-independent and the reparam key discipline is identical,
-    so per-point NLLs must agree to float tolerance."""
+def test_fast_iwae_path_matches_generic(setup, prior, model_name):
+    """Encode-once fast paths == generic per-round re-encode path: the
+    x-only encoder work is row-independent and the reparam key discipline
+    (incl. the 2-level (k2, k1) split) is identical, so per-point NLLs must
+    agree to float tolerance."""
     cfg, m, params, x = setup
-    cfg = cfg.replace(prior=prior)
+    cfg = cfg.replace(prior=prior, model_name=model_name, z2_size=8)
     m2 = create_model(cfg)
     k = jax.random.PRNGKey(0)
     v = m2.init(k, x, k)
