@@ -17,6 +17,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
+import os
 import time
 
 
@@ -62,8 +63,6 @@ def main(argv=None):
         json.dump(rows, f, indent=2)
 
     lines = [
-        "# RESULTS — model x prior convergence matrix (round 1)",
-        "",
         f"Synthetic data (MNIST shapes, N={ns.n} train / 1000 val / 1000 "
         f"test), {ns.epochs} epochs, warmup {max(ns.epochs // 2, 1)}, "
         "IWAE S=128, one TPU v5e chip, bf16 compute. Real-dataset numbers "
@@ -78,9 +77,26 @@ def main(argv=None):
         else:
             lines.append(f"| {r['model']} | {r['prior']} | {r['test_nll']} "
                          f"| {r['best_val_loss']} | {r['wall_s']} |")
-    with open("RESULTS.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote RESULTS.md")
+    table = "\n".join(lines)
+
+    # splice ONLY the matrix section of RESULTS.md (between the markers) so
+    # the trajectory-parity section and the reading notes survive re-runs
+    start, end = "<!-- matrix:start -->", "<!-- matrix:end -->"
+    if os.path.exists("RESULTS.md"):
+        txt = open("RESULTS.md").read()
+        if start in txt and end in txt:
+            head, rest = txt.split(start, 1)
+            _, tail = rest.split(end, 1)
+            txt = head + start + "\n" + table + "\n" + end + tail
+        else:
+            txt += f"\n{start}\n{table}\n{end}\n"
+        with open("RESULTS.md", "w") as f:
+            f.write(txt)
+        print("spliced matrix into RESULTS.md")
+    else:
+        with open("RESULTS.md", "w") as f:
+            f.write(f"# RESULTS\n\n{start}\n{table}\n{end}\n")
+        print("wrote RESULTS.md")
 
 
 if __name__ == "__main__":
