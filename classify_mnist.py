@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--pi", type=float, default=0.5,
                    help="per-example replacement probability")
     p.add_argument("--classifier_epochs", type=int, default=30)
+    p.add_argument("--label_budget", type=int, default=0,
+                   help="subsample the labeled set to this many examples "
+                        "(0 = all); augmentation matters most when labels "
+                        "are scarce")
     p.add_argument("--classifier_lr", type=float, default=1e-3)
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
@@ -60,7 +64,8 @@ def main(argv=None):
         r = train_classifier(exp.model, params, exp.cfg, exp.splits,
                              pi=ns.pi, epochs=ns.classifier_epochs,
                              lr=ns.classifier_lr, batch_size=ns.batch_size,
-                             seed=ns.seed, augment=aug, verbose=False)
+                             seed=ns.seed, augment=aug,
+                             label_budget=ns.label_budget, verbose=False)
         results[name] = {"test_error": r.test_error,
                          "train_seconds": r.train_seconds}
         print(f"{name}: test error {100 * r.test_error:.2f}% "

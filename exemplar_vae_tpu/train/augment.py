@@ -65,15 +65,28 @@ def make_augment_fn(vae_model, vae_params, cfg: Config):
 def train_classifier(vae_model, vae_params, cfg: Config, splits, *,
                      pi: float = 0.5, epochs: int = 30, lr: float = 1e-3,
                      batch_size: int = 100, seed: int = 0,
-                     augment: bool = True, verbose: bool = False):
-    """Train the (optionally augmented) classifier; return test error."""
+                     augment: bool = True, label_budget: int = 0,
+                     verbose: bool = False):
+    """Train the (optionally augmented) classifier; return test error.
+
+    label_budget > 0 subsamples the labeled training set to that many
+    examples (a fixed per-seed choice): generative augmentation matters
+    when the classifier is data-limited — on easily-separable data a
+    full-set classifier saturates and the comparison is floor-limited."""
     if splits.train_labels is None:
         raise ValueError("dataset has no labels; classifier needs them")
     n_classes = int(np.max(splits.train_labels)) + 1
     clf = MLPClassifier(n_classes=n_classes)
     key = jax.random.PRNGKey(seed)
-    x_all = jnp.asarray(splits.train_x)
-    y_all = jnp.asarray(splits.train_labels.astype(np.int32))
+    x_np = np.asarray(splits.train_x)
+    y_np = np.asarray(splits.train_labels.astype(np.int32))
+    if label_budget and label_budget < len(x_np):
+        sel = np.asarray(jax.random.permutation(
+            jax.random.fold_in(key, 0xBEEF), len(x_np)))[:label_budget]
+        x_np, y_np = x_np[sel], y_np[sel]
+    x_all = jnp.asarray(x_np)
+    y_all = jnp.asarray(y_np)
+    batch_size = min(batch_size, len(x_np))
     c, h, w = cfg.input_size
     params = clf.init(key, jnp.zeros((2, h, w, c)))["params"]
     tx = optax.adam(lr)

@@ -48,6 +48,16 @@ def test_classifier_learns_with_and_without_augmentation(vae_setup):
     assert np.isfinite(r_aug.history).all()
 
 
+def test_classifier_label_budget_subsamples(vae_setup):
+    """label_budget caps the labeled set (and the batch size adapts);
+    training still runs and returns a finite error."""
+    cfg, m, params, splits = vae_setup
+    r = train_classifier(m, params, cfg, splits, epochs=4, augment=False,
+                         label_budget=50, batch_size=100, seed=3)
+    assert np.isfinite(r.test_error)
+    assert len(r.history) == 4
+
+
 def test_classifier_requires_labels(vae_setup):
     cfg, m, params, splits = vae_setup
     splits2 = splits._replace(train_labels=None)
