@@ -62,6 +62,13 @@ def reconstruction_log_lik(x, x_mean, x_logvar, input_type: str):
     return log_logistic_256(xf, mf, lvf)
 
 
+def clamped_prior_log_var(params):
+    """Module-free access to the clamped prior log-variance (same [-8, 8]
+    hardtanh as PriorMixin.get_prior_log_var) for code that works on raw
+    param dicts (sharded paths, sampling, augmentation)."""
+    return hardtanh(params["prior_log_var"], -8.0, 8.0)
+
+
 def rows_exemplar_log_prob(z, means_bk, log_var, *, log_denom,
                            data_idx=None, exemplar_idx_bk=None):
     """Exemplar prior over a PER-ROW support set (approximate-kNN mode).
@@ -109,7 +116,17 @@ class PriorMixin:
                 (cfg.number_components, h, w, c_in))
 
     def get_prior_log_var(self):
-        return self.prior_log_var
+        """Learned shared log sigma^2, hardtanh-clamped to [-8, 8].
+
+        Numerical guard, not a behavior change: in healthy training
+        log_var sits in roughly [-3, 1] and the clamp never binds. Without
+        it, sigma^2 can collapse on data with near-duplicate exemplars
+        (AdamNormGrad normalizes the scalar's gradient to a constant-size
+        step, so there is no natural damping): log_var drifts to ~-40,
+        sq * exp(-log_var) overflows fp32, the LSE sees -inf everywhere
+        and the whole model NaNs — observed at epoch ~216 of a 50k-exemplar
+        synthetic run. Clamped, a collapse saturates finitely instead."""
+        return hardtanh(self.prior_log_var, -8.0, 8.0)
 
     def get_pseudo_inputs(self):
         """Pseudo-inputs clamped to valid pixel range (reference applies
@@ -130,7 +147,7 @@ class PriorMixin:
             lse = jax.scipy.special.logsumexp(lp, axis=-1)
             return lse - math.log(cfg.number_components)
         # exemplar prior
-        log_var = self.prior_log_var
+        log_var = self.get_prior_log_var()
         if bank_means is None:
             raise ValueError("exemplar prior requires bank_means")
         if bank_means.ndim == 3:                             # approx: per-row K

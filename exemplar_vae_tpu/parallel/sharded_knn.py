@@ -146,7 +146,8 @@ def make_sharded_approx_prior(model, cfg: Config, mesh: Mesh):
             flat = bank_pre_fn(cfg)(bank_key, flat.astype(jnp.uint8))
         means = model.apply(variables, flat, method="encode_top_mean")
         means = means.reshape(rows.shape + (means.shape[-1],))
-        log_var = variables["params"]["prior_log_var"]
+        from exemplar_vae_tpu.models.base import clamped_prior_log_var
+        log_var = clamped_prior_log_var(variables["params"])
         return rows_exemplar_log_prob(
             out.z_top, means, log_var, log_denom=log_denom,
             data_idx=loo_idx, exemplar_idx_bk=ex_idx_bk)

@@ -60,26 +60,55 @@ def make_eval_bank_fn(model, cfg: Config):
 
 
 def make_elbo_eval_fn(model, cfg: Config):
-    """Mean validation loss/RE/KL on one batch (reference evaluate_loss [U])."""
+    """Mean validation loss/RE/KL (reference evaluate_loss [U]).
 
-    @jax.jit
-    def eval_batch(params, x_raw, key, bank):
+    All full batches run in ONE compiled lax.scan (one dispatch): a
+    host-side batch loop costs ~100 tunnel round-trips per validation on
+    a 10k val set, dwarfing the device time. Key discipline is identical
+    to a host loop (fold_in(key, batch_index)), so results are bitwise
+    unchanged; the tail batch (n % batch) runs as its own call with the
+    next batch index, exactly as the loop would."""
+
+    def _terms(params, x_raw, key, bank):
         k_bin, k_z = jax.random.split(key)
         x = preprocess_batch(k_bin, x_raw, input_type=cfg.input_type,
                              dynamic_binarization=cfg.dynamic_binarization,
                              train=False)
         re, kl, _ = elbo_terms(model, {"params": params}, x, k_z, cfg,
                                bank=bank, train=False)
-        return jnp.mean(-re + kl), jnp.mean(-re), jnp.mean(kl)
+        return jnp.stack([jnp.mean(-re + kl), jnp.mean(-re), jnp.mean(kl)])
+
+    @jax.jit
+    def eval_batch(params, x_raw, key, bank):
+        return _terms(params, x_raw, key, bank)
+
+    @functools.partial(jax.jit, static_argnames=("batch",))
+    def eval_scan(params, x_all, key, bank, batch: int):
+        steps = x_all.shape[0] // batch
+        xb = x_all[:steps * batch].reshape((steps, batch) + x_all.shape[1:])
+
+        def body(carry, inp):
+            x_raw, i = inp
+            return carry, _terms(params, x_raw, jax.random.fold_in(key, i),
+                                 bank)
+
+        _, outs = jax.lax.scan(body, None, (xb, jnp.arange(steps)))
+        return outs                                    # (steps, 3)
 
     def evaluate(params, images_raw, key, bank, batch: Optional[int] = None):
         n = images_raw.shape[0]
         batch = min(batch or cfg.test_batch_size, n)
+        steps = n // batch
         tot = np.zeros(3, np.float64)
-        for i, start in enumerate(range(0, n, batch)):
-            xb = images_raw[start:start + batch]   # tail batch included
-            out = eval_batch(params, xb, jax.random.fold_in(key, i), bank)
-            tot += np.asarray([float(v) for v in out]) * len(xb)
+        if steps:
+            outs = np.asarray(eval_scan(params, jnp.asarray(images_raw),
+                                        key, bank, batch), np.float64)
+            tot += outs.sum(axis=0) * batch
+        tail = n - steps * batch
+        if tail:
+            xb = images_raw[steps * batch:]
+            out = eval_batch(params, xb, jax.random.fold_in(key, steps), bank)
+            tot += np.asarray(out, np.float64) * tail
         return tuple(tot / max(n, 1))  # (loss, RE, KL)
 
     return evaluate

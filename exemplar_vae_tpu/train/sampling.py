@@ -42,7 +42,8 @@ def generate_x(model, params, cfg: Config, n: int, key,
         idx = jax.random.randint(k_pick, (n,), 0, hi)
         ex = _prep(k_bin, bank_images_raw[idx], cfg)
         mu = model.apply(variables, ex, method="encode_top_mean")
-        log_var = params["prior_log_var"]
+        from exemplar_vae_tpu.models.base import clamped_prior_log_var
+        log_var = clamped_prior_log_var(params)
         z = mu + jnp.exp(0.5 * log_var) * jax.random.normal(k_z, mu.shape)
     return model.apply(variables, z, k_dec, method="generate_from_top")
 
@@ -57,7 +58,9 @@ def reference_based_generation_x(model, params, cfg: Config, key, x_ref_raw,
     mu = model.apply(variables, x_ref, method="encode_top_mean")
     if n_per_ref > 1:
         mu = jnp.repeat(mu, n_per_ref, axis=0)
-    log_var = params["prior_log_var"] if cfg.prior == "exemplar_prior" else 0.0
+    from exemplar_vae_tpu.models.base import clamped_prior_log_var
+    log_var = (clamped_prior_log_var(params)
+               if cfg.prior == "exemplar_prior" else 0.0)
     z = mu + jnp.exp(0.5 * jnp.asarray(log_var)) * jax.random.normal(
         k_z, mu.shape)
     return model.apply(variables, z, k_dec, method="generate_from_top")

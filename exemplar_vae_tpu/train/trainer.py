@@ -215,6 +215,10 @@ class Experiment:
         dt = time.perf_counter() - t0
         metrics.update(epoch=self.epoch, beta=beta, epoch_seconds=dt,
                        images_per_sec=self.steps_per_epoch * cfg.batch_size / dt)
+        if cfg.prior == "exemplar_prior":
+            # sigma^2-collapse observability (see models/base.py clamp note)
+            metrics["prior_log_var"] = float(
+                jax.device_get(self.state.params["prior_log_var"]))
         return metrics
 
     def validate(self) -> tuple:
@@ -236,6 +240,13 @@ class Experiment:
             val_loss, val_re, val_kl = self.validate()
             m.update(val_loss=float(val_loss), val_re=float(val_re),
                      val_kl=float(val_kl))
+            if not (np.isfinite(m["loss"]) and np.isfinite(val_loss)):
+                # a NaN'd state never recovers — stop instead of burning
+                # patience-many epochs on garbage; best_params still holds
+                # the last finite best-on-val state for the final eval
+                m["aborted_non_finite"] = 1
+                self._log(m)
+                break
             # early stopping only once beta has fully warmed up, like the
             # reference (the warm-up phase always improves raw loss) [U]
             if float(val_loss) < self.best_val:

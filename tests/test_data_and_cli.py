@@ -31,6 +31,79 @@ def test_loader_contract_sets_metadata():
             assert ds.train_x.dtype == np.uint8
 
 
+def _write_idx(path, arr):
+    import struct
+    arr = np.asarray(arr, np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0x800 | arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def test_dynamic_mnist_from_idx_files_end_to_end(tmp_path):
+    """Fabricated idx-ubyte train/t10k files drive the REAL loader path:
+    val carve-out from the train tail, labels kept, eval splits Bernoulli-
+    binarized once with the fixed seed, and one Experiment epoch trains."""
+    rng = np.random.default_rng(0)
+    _write_idx(tmp_path / "train-images-idx3-ubyte",
+               rng.integers(0, 256, (200, 28, 28)))
+    _write_idx(tmp_path / "train-labels-idx1-ubyte",
+               rng.integers(0, 10, (200,)))
+    _write_idx(tmp_path / "t10k-images-idx3-ubyte",
+               rng.integers(0, 256, (40, 28, 28)))
+    _write_idx(tmp_path / "t10k-labels-idx1-ubyte",
+               rng.integers(0, 10, (40,)))
+    cfg = Config(dataset_name="dynamic_mnist", data_dir=str(tmp_path),
+                 val_set_size=50, number_components=150, hidden_size=16,
+                 z1_size=4, batch_size=25, S=2, MB=2, test_batch_size=20,
+                 use_pallas_prior=False, prior_block_n=32,
+                 exact_reencode_chunk=32, snapshot_dir=str(tmp_path / "snap"))
+    ds, cfg2 = load_dataset(cfg)
+    assert ds.source == "real"
+    assert len(ds.train_x) == 150 and len(ds.val_x) == 50
+    assert ds.train_labels is not None
+    assert set(np.unique(ds.val_x)) <= {0.0, 1.0}   # eval binarized at load
+    assert ds.train_x.max() <= 1.0                  # train stays gray
+    from exemplar_vae_tpu.train.trainer import Experiment
+    exp = Experiment(cfg, verbose=False)
+    m = exp.train_epoch()
+    assert np.isfinite(m["loss"])
+
+
+def test_omniglot_from_chardata_mat(tmp_path):
+    """Fabricated chardata.mat exercises the scipy loader + the (784, n)
+    column-major reshape convention + the background/eval split carve-out."""
+    scipy_io = pytest.importorskip("scipy.io")
+    rng = np.random.default_rng(1)
+    data = rng.random((784, 120)).astype(np.float32)     # (pixels, n) layout
+    testdata = rng.random((784, 30)).astype(np.float32)
+    scipy_io.savemat(tmp_path / "chardata.mat",
+                     {"data": data, "testdata": testdata})
+    cfg = Config(dataset_name="omniglot", data_dir=str(tmp_path),
+                 val_set_size=12, test_set_size=30)
+    ds, cfg2 = load_dataset(cfg)
+    assert ds.source == "real"
+    assert ds.train_x.shape == (108, 28, 28, 1)          # 120 - 12 val
+    assert ds.test_x.shape == (30, 28, 28, 1)
+    # column-major per image: image k of the mat is column k
+    want = data[:, 0].reshape(28, 28)
+    np.testing.assert_allclose(np.asarray(ds.train_x[0, :, :, 0]), want)
+
+
+def test_celeba_from_npz_triple(tmp_path):
+    rng = np.random.default_rng(2)
+    for s, n in (("train", 60), ("valid", 10), ("test", 12)):
+        np.savez(tmp_path / f"celeba_{s}.npz",
+                 x=rng.integers(0, 256, (n, 64, 64, 3), dtype=np.uint8))
+    cfg = Config(dataset_name="celeba", data_dir=str(tmp_path))
+    ds, cfg2 = load_dataset(cfg)
+    assert ds.source == "real"
+    assert ds.train_x.shape == (60, 64, 64, 3)
+    assert ds.train_x.dtype == np.uint8                  # raw bank contract
+    assert cfg2.input_type == "continuous"
+
+
 def test_synthetic_deterministic():
     a, la = synthetic_images(16, 14, 14, 1, seed=3)
     b, lb = synthetic_images(16, 14, 14, 1, seed=3)

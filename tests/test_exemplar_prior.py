@@ -42,6 +42,36 @@ def test_matches_oracle_no_mask(problem, impl):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_collapsed_prior_variance_stays_finite(problem):
+    """sigma^2-collapse guard: with a runaway prior_log_var (observed drift
+    to ~-40 on near-duplicate exemplars — AdamNormGrad gives the scalar a
+    constant-size step, so nothing damps it), the clamped model density and
+    its gradients must stay finite instead of overflowing exp(-log_var)."""
+    import jax
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.models import create_model
+
+    cfg = Config(model_name="vae", prior="exemplar_prior", hidden_size=16,
+                 z1_size=8, use_pallas_prior=False)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (4, 28, 28, 1))
+    v = m.init(k, x, k)
+    params = dict(v["params"])
+    params["prior_log_var"] = jnp.asarray(-40.0, jnp.float32)  # collapsed
+    means = jax.random.normal(k, (32, 8))
+
+    def f(params):
+        return jnp.sum(m.apply({"params": params}, jnp.zeros((4, 8)),
+                               bank_means=means, log_denom=jnp.log(32.0),
+                               method="log_p_z_top"))
+
+    val, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_pallas_bf16_matches_oracle_loosely(problem):
     """bf16-input kernel variant: same math, bf16 rounding of z/mu only
     (fp32 accumulation) — must track the fp32 oracle to bf16 tolerance."""
