@@ -119,13 +119,15 @@ class PriorMixin:
         """Learned shared log sigma^2, hardtanh-clamped to [-8, 8].
 
         Numerical guard, not a behavior change: in healthy training
-        log_var sits in roughly [-3, 1] and the clamp never binds. Without
-        it, sigma^2 can collapse on data with near-duplicate exemplars
-        (AdamNormGrad normalizes the scalar's gradient to a constant-size
-        step, so there is no natural damping): log_var drifts to ~-40,
-        sq * exp(-log_var) overflows fp32, the LSE sees -inf everywhere
-        and the whole model NaNs — observed at epoch ~216 of a 50k-exemplar
-        synthetic run. Clamped, a collapse saturates finitely instead."""
+        log_var sits in roughly [-3, 1] and the clamp never binds; it
+        bounds exp(-log_var) away from fp32 overflow if sigma^2 ever runs
+        away. Note the guard is NOT a divergence cure: a 50k-exemplar
+        synthetic run still destabilized at log_var ~ -3.7 (well inside
+        the clamp) — shrinking sigma^2 raises the prior's loss curvature
+        like 1/sigma^2 until AdamNormGrad's constant-magnitude steps
+        overshoot and training blows up within an epoch (same in fp32 and
+        bf16, bitwise-deterministic; docs/DESIGN.md §4b). The trainer's
+        non-finite abort + best-on-val selection contain the damage."""
         return hardtanh(self.prior_log_var, -8.0, 8.0)
 
     def get_pseudo_inputs(self):
