@@ -33,6 +33,22 @@ def test_multi_epoch_training_trajectory_matches_torch(tmp_path):
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
 
 
+def test_vamp_trajectory_matches_torch(tmp_path):
+    """Third prior family end-to-end: the VAMP pseudo-input mixture
+    (trainable pseudo-inputs with data-seeded init, hardtanh [0,1] at use,
+    per-component diagonal variances, log C denominator with no LOO)
+    tracks the torch twin within the fp32-chaos envelope (see the HVAE
+    test's tolerance rationale)."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     prior="vampprior", n_pseudo=24,
+                     snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 1e-1, out
+    assert out["nll_diff"] < 1e-1, out
+    assert out["max_param_diff"] < 3e-2, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
 def test_hvae_trajectory_matches_torch(tmp_path):
     """Same end-to-end agreement for the 2-level model: additionally pins
     the level-1 sampled-KL convention (q(z1|x,z2) vs p(z1|z2) rides inside

@@ -49,23 +49,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                batch=64, warmup=3, S=8, MB=4, seed=7, snapshot_dir=None,
-               model_name="vae", verbose=True):
+               model_name="vae", prior="exemplar_prior", n_pseudo=24,
+               verbose=True):
     """-> dict with per-epoch val losses for both frameworks + final diffs.
 
     model_name: 'vae' (single level) or 'hvae_2level' (2-level factorization
-    — covers the level-1 sampled-KL conventions with TorchTwinHVAE)."""
+    — covers the level-1 sampled-KL conventions with TorchTwinHVAE).
+    prior: 'exemplar_prior' or 'vampprior' (TorchTwinVamp — pseudo-input
+    mixture with per-component diagonal variances, data-seeded init)."""
     import jax
     import jax.numpy as jnp
 
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
-    from tools.torch_twin import TorchTwin, TorchTwinHVAE, _flatten
+    from tools.torch_twin import (TorchTwin, TorchTwinHVAE, TorchTwinVamp,
+                                  _flatten)
 
     tmp = snapshot_dir or tempfile.mkdtemp(prefix="parity_")
     cfg = Config(dataset_name="synthetic", dynamic_binarization_override=False,
                  training_set_size=n_train, val_set_size=val,
-                 test_set_size=test, number_components=n_train,
-                 model_name=model_name, prior="exemplar_prior",
+                 test_set_size=test,
+                 number_components=(n_pseudo if prior == "vampprior"
+                                    else n_train),
+                 use_training_data_init=(prior == "vampprior"),
+                 model_name=model_name, prior=prior,
                  hidden_size=hidden,
                  z1_size=z, z2_size=z, batch_size=batch, test_batch_size=val,
                  warmup=warmup, epochs=epochs, early_stopping_epochs=epochs + 1,
@@ -90,7 +97,9 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     jax_best = _flatten(exp.best_params)
 
     # ---------------- torch side: replay the same trajectory -------------
-    twin = (TorchTwinHVAE if two_level else TorchTwin)(init_params, lr=cfg.lr)
+    twin_cls = (TorchTwinVamp if prior == "vampprior"
+                else TorchTwinHVAE if two_level else TorchTwin)
+    twin = twin_cls(init_params, lr=cfg.lr)
     key = jax.random.PRNGKey(cfg.seed)
     bank = train_x[:n_train]
 

@@ -57,6 +57,13 @@ class TorchTwin:
     def _resolve_z_dim(self):
         return self.p["q_mean_head/kernel"].shape[1]
 
+    # mixture denominators (overridden by the vamp twin: always log C)
+    def train_log_denom(self, n_bank):
+        return math.log(n_bank - 1)       # LOO removes one component
+
+    def eval_log_denom(self, n_bank):
+        return math.log(n_bank)
+
     # ---------------- model pieces (flax layout: y = x @ W + b) -----------
     def _dense(self, x, name):
         return x @ self.p[f"{name}/kernel"] + self.p[f"{name}/bias"]
@@ -119,7 +126,7 @@ class TorchTwin:
         re, kl = self.elbo_terms(
             x2d, torch.tensor(np.asarray(eps, np.float32)), bank2d,
             torch.tensor(np.asarray(idx, np.int64)),
-            torch.arange(len(bank)), math.log(n_bank - 1))
+            torch.arange(len(bank)), self.train_log_denom(n_bank))
         loss = (-re + beta * kl).mean()
         self.opt.zero_grad()
         loss.backward()
@@ -138,7 +145,7 @@ class TorchTwin:
                 np.asarray(bank, np.float32).reshape(len(bank), -1))
             re, kl = self.elbo_terms(
                 x2d, torch.tensor(np.asarray(eps, np.float32)), bank2d,
-                None, None, math.log(n_bank))
+                None, None, self.eval_log_denom(n_bank))
             return (float((-re + kl).mean()), float((-re).mean()),
                     float(kl.mean()))
 
@@ -160,7 +167,7 @@ class TorchTwin:
             for j in range(rounds):
                 re, kl = self.elbo_terms(
                     x_rep, torch.tensor(np.asarray(eps_rounds[j], np.float32)),
-                    bank2d, None, None, math.log(n_bank))
+                    bank2d, None, None, self.eval_log_denom(n_bank))
                 a = (re - kl).reshape(t, r)
                 m_new = torch.maximum(m, a.max(dim=1).values)
                 s = s * torch.exp(m - m_new) + torch.exp(
@@ -179,6 +186,30 @@ class TorchTwin:
 
     def params_numpy(self):
         return {k: v.detach().numpy().copy() for k, v in self.p.items()}
+
+
+class TorchTwinVamp(TorchTwin):
+    """Trainable torch twin of the VAE with the VAMP prior: a mixture over
+    C learned pseudo-inputs (parameters, hardtanh-clamped to [0,1] at use)
+    re-encoded by the current encoder with per-component DIAGONAL
+    variances (models/base.py::log_p_z_top vamp branch). The bank args of
+    the shared train/eval drivers are ignored; log_denom carries log(C)."""
+
+    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom):
+        torch = self.torch
+        u = torch.clamp(self.p["pseudo_inputs"], 0.0, 1.0)
+        u2d = u.reshape(u.shape[0], -1)
+        mu, lv = self.encode(u2d)                          # (C, Z) each
+        # per-component diagonal log-normal, summed over Z
+        diff = z[:, None, :] - mu[None]                    # (B, C, Z)
+        lp = (-0.5 * (lv[None] + diff ** 2 / lv.exp()[None])).sum(-1)
+        return torch.logsumexp(lp, dim=-1) - log_denom
+
+    def train_log_denom(self, n_bank):
+        return math.log(self.p["pseudo_inputs"].shape[0])  # no LOO for vamp
+
+    def eval_log_denom(self, n_bank):
+        return math.log(self.p["pseudo_inputs"].shape[0])
 
 
 class TorchTwinHVAE(TorchTwin):
