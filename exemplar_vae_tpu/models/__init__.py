@@ -14,7 +14,10 @@ def create_model(cfg: Config):
     if name in ("convhvae_2level", "convhvae", "conv_hvae"):
         from exemplar_vae_tpu.models.conv_hvae import ConvHVAE
         return ConvHVAE(cfg)
+    if name in ("pixelhvae_2level", "pixelhvae", "pixel_hvae"):
+        from exemplar_vae_tpu.models.pixel_hvae import PixelHVAE
+        return PixelHVAE(cfg)
     raise ValueError(f"unknown model_name: {cfg.model_name}")
 
 
-MODEL_NAMES = ("vae", "hvae_2level", "convhvae_2level")
+MODEL_NAMES = ("vae", "hvae_2level", "convhvae_2level", "pixelhvae_2level")

@@ -99,6 +99,41 @@ class GatedConvTranspose2d(nn.Module):
         return h * jax.nn.sigmoid(g)
 
 
+class MaskedConv2d(nn.Module):
+    """PixelCNN masked convolution, NHWC (reference lineage:
+    utils/nn.py::MaskedConv2d of the upstream vampprior codebase [U]).
+
+    mask_type 'A' blocks the center pixel (first decoder layer — the
+    prediction for pixel i must not see x_i); 'B' allows it (subsequent
+    layers see features already causal in x). Masking is spatial: all
+    input channels of a pixel are treated jointly (the standard
+    single-group simplification; per-channel-group masks only matter for
+    strictly autoregressive RGB likelihoods, which the reference family
+    does not use).
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    mask_type: str = "B"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", he_init, (kh, kw, c_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mask = jnp.ones((kh, kw, 1, 1), kernel.dtype)
+        ch, cw = kh // 2, kw // 2
+        mask = mask.at[ch, cw + (1 if self.mask_type == "B" else 0):].set(0.0)
+        mask = mask.at[ch + 1:].set(0.0)
+        dt = self.dtype or kernel.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), (kernel * mask).astype(dt),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dt)
+
+
 def compute_dtype(cfg) -> Any:
     """cfg.compute_dtype -> flax layer dtype (None = fp32 everywhere)."""
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None

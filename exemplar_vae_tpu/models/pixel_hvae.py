@@ -1,0 +1,170 @@
+"""Two-level hierarchical VAE with a PixelCNN (autoregressive) decoder
+(reference lineage: models/PixelHVAE_2level.py of the upstream vampprior
+codebase [U] — the one model family of the fork's lineage that
+BASELINE.json's parity configs do NOT include; built here anyway for
+family completeness and documented as beyond-parity scope, SURVEY.md §0.2).
+
+Factorization matches HVAE (q(z2|x) q(z1|x,z2); p(z2) p(z1|z2)); the
+likelihood p(x|z1,z2) is autoregressive over pixels in raster order:
+
+    p(x | z1, z2) = prod_i p(x_i | x_{<i}, z1, z2)
+
+TPU-first decisions:
+* training/eval are fully parallel (teacher forcing): one masked-conv
+  stack pass per batch — the mask, not sequential execution, enforces
+  causality, so the MXU sees ordinary conv GEMMs;
+* the latent conditioning is a per-pixel context map (dense z -> (H, W, F))
+  ADDED to every masked layer's input features, mirroring the reference's
+  z-upsampling + elementwise conditioning [U];
+* generation is the only sequential part: a lax.fori_loop over the H*W
+  pixels re-runs the compiled stack on the growing canvas (static trip
+  count and shapes — one compilation, no host round-trips).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.layers import (
+    GatedDense,
+    MaskedConv2d,
+    NonLinear,
+    compute_dtype,
+    p_logvar_activation,
+    q_logvar_activation,
+)
+from exemplar_vae_tpu.ops.distributions import log_normal_diag
+
+_PIX_FEATURES = 64
+_PIX_LAYERS = 4
+
+
+class PixelHVAE(nn.Module, PriorMixin):
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.hidden_size
+        dt = compute_dtype(cfg)
+        c_in, ih, iw = cfg.input_size
+        self._hw = (ih, iw)
+        # inference nets: same gated-dense structure as HVAE (the reference
+        # PixelHVAE reuses its HVAE encoder [U])
+        self.q_z2_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
+                                          dtype=dt)
+        self.q_z1_x = GatedDense(h, dtype=dt)
+        self.q_z1_z2 = GatedDense(h, dtype=dt)
+        self.q_z1_joint = GatedDense(h, dtype=dt)
+        self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
+        # p(z1 | z2)
+        self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
+        self.p_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
+        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+                                          dtype=dt)
+        # p(x | x_<i, z1, z2): latent context map + masked PixelCNN stack
+        self.ctx_proj = nn.Dense(ih * iw * _PIX_FEATURES, dtype=dt)
+        self.pix_in = MaskedConv2d(_PIX_FEATURES, (5, 5), mask_type="A",
+                                   dtype=dt)
+        self.pix_layers = [MaskedConv2d(_PIX_FEATURES, (3, 3), mask_type="B",
+                                        dtype=dt)
+                           for _ in range(_PIX_LAYERS)]
+        self.p_x_mean_head = nn.Conv(c_in, (1, 1), dtype=dt)
+        if cfg.input_type != "binary":
+            self.p_x_logvar_head = nn.Conv(c_in, (1, 1), dtype=dt)
+        self._setup_prior()
+
+    # --- inference net (same as HVAE) ---
+    def encode_top(self, x):
+        h = x.reshape(x.shape[0], -1)
+        for layer in self.q_z2_layers:
+            h = layer(h)
+        return (self.q_z2_mean_head(h).astype(jnp.float32),
+                self.q_z2_logvar_head(h).astype(jnp.float32))
+
+    def encode_top_mean(self, x):
+        return self.encode_top(x)[0]
+
+    def q_z1_cache(self, x):
+        return self.q_z1_x(x.reshape(x.shape[0], -1))
+
+    def q_z1_from_cache(self, hx, z2):
+        hz = self.q_z1_z2(z2)
+        h = self.q_z1_joint(jnp.concatenate([hx.astype(hz.dtype), hz],
+                                            axis=-1))
+        return (self.q_z1_mean_head(h).astype(jnp.float32),
+                self.q_z1_logvar_head(h).astype(jnp.float32))
+
+    def q_z1(self, x, z2):
+        return self.q_z1_from_cache(self.q_z1_cache(x), z2)
+
+    # --- generative net ---
+    def p_z1(self, z2):
+        h = z2
+        for layer in self.p_z1_layers:
+            h = layer(h)
+        return (self.p_z1_mean_head(h).astype(jnp.float32),
+                self.p_z1_logvar_head(h).astype(jnp.float32))
+
+    def decode(self, x, z1, z2):
+        """Teacher-forced autoregressive likelihood params: causal in x by
+        mask construction; fully parallel over pixels."""
+        ih, iw = self._hw
+        ctx = self.ctx_proj(jnp.concatenate([z1, z2], axis=-1))
+        ctx = ctx.reshape(x.shape[0], ih, iw, _PIX_FEATURES)
+        h = self.pix_in(x) + ctx
+        for layer in self.pix_layers:
+            h = layer(jax.nn.relu(h)) + ctx
+        h = jax.nn.relu(h)
+        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
+        if self.cfg.input_type == "binary":
+            x_logvar = jnp.zeros_like(x_mean)
+        else:
+            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
+            x_logvar = p_logvar_activation(
+                self.p_x_logvar_head(h)).astype(jnp.float32)
+        return x_mean, x_logvar
+
+    def __call__(self, x, key):
+        k2, k1 = jax.random.split(key)
+        q2_mean, q2_logvar = self.encode_top(x)
+        z2 = reparameterize(k2, q2_mean, q2_logvar)
+        q1_mean, q1_logvar = self.q_z1(x, z2)
+        z1 = reparameterize(k1, q1_mean, q1_logvar)
+        p1_mean, p1_logvar = self.p_z1(z2)
+        extra_kl = (log_normal_diag(z1, q1_mean, q1_logvar)
+                    - log_normal_diag(z1, p1_mean, p1_logvar))
+        x_mean, x_logvar = self.decode(x, z1, z2)
+        return ForwardOut(z2, q2_mean, q2_logvar, x_mean, x_logvar, extra_kl)
+
+    def generate_from_top(self, z2, key):
+        """Autoregressive sampling: raster-order fori_loop over pixels
+        (the reference samples the PixelCNN pixel-by-pixel the same way
+        [U]; here the loop is compiled with static shapes)."""
+        k1, k_pix = jax.random.split(key)
+        p1_mean, p1_logvar = self.p_z1(z2)
+        z1 = reparameterize(k1, p1_mean, p1_logvar)
+        ih, iw = self._hw
+        c_in = self.cfg.input_size[0]
+        b = z2.shape[0]
+
+        def body(i, canvas):
+            x_mean, x_logvar = self.decode(canvas, z1, z2)
+            r, col = i // iw, i % iw
+            if self.cfg.input_type == "binary":
+                u = jax.random.uniform(jax.random.fold_in(k_pix, i),
+                                       (b, c_in))
+                pix = (u < x_mean[:, r, col, :]).astype(jnp.float32)
+            else:
+                pix = x_mean[:, r, col, :]   # mean fill for continuous
+            return canvas.at[:, r, col, :].set(pix)
+
+        canvas = jnp.zeros((b, ih, iw, c_in), jnp.float32)
+        return jax.lax.fori_loop(0, ih * iw, body, canvas)

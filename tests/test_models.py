@@ -9,7 +9,7 @@ import pytest
 from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.models import create_model
 
-MODELS = ["vae", "hvae_2level", "convhvae_2level"]
+MODELS = ["vae", "hvae_2level", "convhvae_2level", "pixelhvae_2level"]
 PRIORS = ["standard", "vampprior", "exemplar_prior"]
 
 
@@ -35,6 +35,63 @@ def test_forward_shapes(model_name, prior):
         assert np.allclose(np.asarray(out.extra_kl), 0.0)
     probs = np.asarray(out.x_mean)
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_pixelcnn_decoder_is_causal():
+    """The defining PixelCNN property: likelihood params at pixel i must
+    not depend on pixels at or after i in raster order. Perturb a late
+    pixel, assert every earlier pixel's output is unchanged (and the
+    perturbed pixel's own output too — mask 'A' blocks the center)."""
+    cfg, m, x, v = _mk("pixelhvae_2level", "standard")
+    k = jax.random.PRNGKey(2)
+    z1 = jax.random.normal(jax.random.fold_in(k, 1), (4, cfg.z1_size))
+    z2 = jax.random.normal(jax.random.fold_in(k, 2), (4, cfg.z2_size))
+    mean1, _ = m.apply(v, x, z1, z2, method="decode")
+    r, c = 20, 13                      # perturb pixel (20, 13)
+    x2 = x.at[:, r, c, 0].set(1.0 - x[:, r, c, 0])
+    mean2, _ = m.apply(v, x2, z1, z2, method="decode")
+    a = np.asarray(mean1).reshape(4, -1)
+    b = np.asarray(mean2).reshape(4, -1)
+    i = r * 28 + c
+    np.testing.assert_array_equal(a[:, :i + 1], b[:, :i + 1])
+    # and later pixels DO change (the x-conditioning is real)
+    assert not np.allclose(a[:, i + 1:], b[:, i + 1:])
+
+
+def test_pixelhvae_trains_end_to_end(tmp_path):
+    """Full Experiment wiring for the PixelCNN decoder: exemplar prior on
+    z2, teacher-forced training, validation, IWAE — all through the
+    generic (non-fast) eval path."""
+    from exemplar_vae_tpu.train.trainer import Experiment
+    cfg = Config(dataset_name="synthetic", model_name="pixelhvae_2level",
+                 prior="exemplar_prior", training_set_size=96,
+                 val_set_size=32, test_set_size=16, number_components=96,
+                 batch_size=32, warmup=2, epochs=2, S=2, MB=2,
+                 test_batch_size=16, hidden_size=32, z1_size=8, z2_size=8,
+                 use_pallas_prior=False, prior_block_n=32,
+                 exact_reencode_chunk=32, snapshot_dir=str(tmp_path))
+    exp = Experiment(cfg, verbose=False)
+    m1 = exp.train_epoch()
+    m2 = exp.train_epoch()
+    assert np.isfinite(m2["loss"])
+    assert m2["loss"] < m1["loss"] + 5.0
+    val = exp.validate()
+    assert np.isfinite(val[0])
+    eb = exp.build_eval_bank(exp.state.params, exp.bank,
+                             jax.random.PRNGKey(0))
+    nll, _ = exp.iwae(exp.state.params, exp.splits.test_x,
+                      jax.random.PRNGKey(1), eb, s_total=2)
+    assert np.isfinite(nll)
+
+
+def test_pixelhvae_generation_is_autoregressive_sampling():
+    cfg, m, x, v = _mk("pixelhvae_2level", "standard")
+    z2 = jax.random.normal(jax.random.PRNGKey(3), (3, cfg.z2_size))
+    gen = m.apply(v, z2, jax.random.PRNGKey(4), method="generate_from_top")
+    assert gen.shape == (3, 28, 28, 1)
+    assert set(np.unique(np.asarray(gen))) <= {0.0, 1.0}  # binary samples
+    gen2 = m.apply(v, z2, jax.random.PRNGKey(4), method="generate_from_top")
+    np.testing.assert_array_equal(np.asarray(gen), np.asarray(gen2))
 
 
 @pytest.mark.parametrize("model_name", MODELS)
