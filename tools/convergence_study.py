@@ -51,7 +51,8 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=10_000)
     ns = p.parse_args(argv)
     rows = []
-    for model in ("vae", "hvae_2level", "convhvae_2level"):
+    for model in ("vae", "hvae_2level", "convhvae_2level",
+                  "pixelhvae_2level"):
         for prior in ("standard", "vampprior", "exemplar_prior"):
             try:
                 r = run_one(model, prior, ns.epochs, ns.n)
