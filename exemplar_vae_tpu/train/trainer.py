@@ -73,6 +73,11 @@ class Experiment:
         self.train_idx = jax.device_put(self.splits.train_idx, repl)
         self.n_train = int(self.splits.train_x.shape[0])
         self.steps_per_epoch = self.n_train // cfg.batch_size
+        if self.steps_per_epoch == 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} exceeds the training set "
+                f"({self.n_train} examples): zero steps per epoch. Lower "
+                f"batch_size or raise training_set_size.")
 
         # --- exemplar bank (first number_components training points) ---
         self.bank = None

@@ -79,6 +79,23 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     assert exp2.epoch == 2
 
 
+def test_batch_larger_than_dataset_fails_loudly(tmp_path):
+    """steps_per_epoch == 0 must be a clear error, not a silent NaN epoch."""
+    cfg = _base(tmp_path, training_set_size=8, batch_size=32)
+    with pytest.raises(ValueError, match="zero steps per epoch"):
+        Experiment(cfg, verbose=False)
+
+
+def test_approximate_k_larger_than_bank_still_trains(tmp_path):
+    """K > N caps at the bank size (lax.top_k k=min(k, n)) — a config that
+    would silently index out of range must instead just use all N."""
+    cfg = _base(tmp_path, prior="exemplar_prior", approximate_prior=True,
+                approximate_k=1000)
+    exp = Experiment(cfg, verbose=False)
+    m = exp.train_epoch()
+    assert np.isfinite(m["loss"])
+
+
 def test_checkpoint_orbax_backend_roundtrip(tmp_path):
     """Orbax backend (async/multi-host-capable option): same roundtrip
     contract as npz — params, epoch, best_val, and the approx cache all
