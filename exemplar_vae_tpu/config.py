@@ -38,7 +38,25 @@ class Config:
     number_components: int = 50_000      # exemplar-set size N (vamp: #pseudo-inputs)
     approximate_prior: bool = False      # use the kNN-subsampled exemplar prior
     approximate_k: int = 10              # K nearest cached exemplars per batch point
+    # Approximate-prior SUPPORT-SET semantics (SURVEY.md §3.5 ambiguity;
+    # round-2 VERDICT missing #3). 'per_row' (default): each batch point's
+    # mixture runs over its OWN K re-encoded neighbors — the paper's
+    # per-point kNN formulation (arXiv:2004.04795 §3.2). 'batch_union':
+    # every point's mixture runs over the union of ALL B*K selected
+    # exemplars (duplicates counted once) — a tighter lower bound (each
+    # point's own K is a subset of the union), costlier by a (B, B*K)
+    # pairwise pass; re-encode cost is identical. Both use the full-set
+    # denominator. Session-0 verify item: which one get_exemplar_set
+    # implements (docs/DESIGN.md §5 has the A/B numbers).
+    approximate_support: str = "per_row"  # per_row | batch_union
     prior_variance_init: float = 1.0     # init for the learned shared sigma^2
+    # Opt-in sigma^2-collapse mitigation (docs/DESIGN.md §4b): floor the
+    # learned prior variance at this value (0 = off, bit-identical to the
+    # plain [-8, 8] overflow clamp). The measured divergence mechanism is
+    # sigma^2 shrinking until prior curvature ~1/sigma^2 makes
+    # AdamNormGrad's constant-magnitude steps overshoot; a floor of e.g.
+    # 0.05 caps the curvature so a long run finishes instead of aborting.
+    prior_var_min: float = 0.0
     no_mask: bool = False                # disable leave-one-out masking (debug flag)
     use_training_data_init: bool = False # vamp pseudo-input init from data
     # Exemplar-BANK preprocessing convention. False (default, reference
@@ -50,7 +68,20 @@ class Config:
     # draw [U]). True: per-epoch stochastic bank preprocessing (ablation).
     bank_stochastic_preprocess: bool = False
 
+    # --- ConvHVAE architecture spec (SURVEY.md §0.2 marks the reference's
+    # channel counts [M]; the stack below is the rebuild's documented guess,
+    # externalized so the session-0 correction — once the reference mount
+    # populates — is a config edit, not code surgery; docs/DESIGN.md §4
+    # session-0 checklist). Grammar: comma-separated layers, each
+    # [t|c]<features>k<kernel>s<stride>; 't' = GatedConvTranspose2d,
+    # 'c' (default) = GatedConv2d. Encoder downsampling (product of enc
+    # strides) must equal decoder upsampling (product of 't' strides).
+    conv_enc_spec: str = "32k7s1,32k3s2,64k5s1,64k3s2"
+    conv_dec_spec: str = "t64k3s2,t32k3s2,c32k3s1"
+    conv_proj_channels: int = 64         # bottleneck channels of the decoder projection
+
     # --- optimization (reference defaults, SURVEY.md §0.1) ---
+    optimizer: str = "adam_norm_grad"    # adam_norm_grad (reference) | adam
     lr: float = 5e-4
     batch_size: int = 100
     test_batch_size: int = 100
@@ -140,6 +171,22 @@ class Config:
         return Config(**d)
 
 
+def parse_conv_spec(spec: str):
+    """Parse a conv-stack spec string into (kind, features, kernel, stride)
+    tuples. Grammar per layer: ``[t|c]<features>k<kernel>s<stride>``."""
+    import re
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        m = re.fullmatch(r"([tc]?)(\d+)k(\d+)s(\d+)", part)
+        if not m:
+            raise ValueError(
+                f"bad conv-spec layer {part!r} (want [t|c]<feat>k<k>s<s>)")
+        kind = m.group(1) or "c"
+        out.append((kind, int(m.group(2)), int(m.group(3)), int(m.group(4))))
+    return tuple(out)
+
+
 def reference_arg_parser():
     """argparse parser accepting the reference's flag names
     (reference: main.py::parser [U]; SURVEY.md §5 flag list)."""
@@ -154,7 +201,13 @@ def reference_arg_parser():
     p.add_argument("--number_components", type=int, default=d.number_components)
     p.add_argument("--approximate_prior", action="store_true")
     p.add_argument("--approximate_k", type=int, default=d.approximate_k)
+    p.add_argument("--approximate_support", type=str,
+                   default=d.approximate_support,
+                   choices=["per_row", "batch_union"])
     p.add_argument("--prior_variance", type=float, default=d.prior_variance_init)
+    p.add_argument("--prior_var_min", type=float, default=d.prior_var_min,
+                   help="floor for the learned prior sigma^2 (0 = off); "
+                        "opt-in divergence mitigation, DESIGN.md §4b")
     p.add_argument("--no_mask", action="store_true")
     p.add_argument("--use_training_data_init", action="store_true")
     p.add_argument("--z1_size", type=int, default=d.z1_size)
@@ -163,6 +216,10 @@ def reference_arg_parser():
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
     p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--optimizer", type=str, default=d.optimizer,
+                   choices=["adam_norm_grad", "adam"],
+                   help="adam_norm_grad is the reference optimizer; adam is "
+                        "the variance-reduced harness mode")
     p.add_argument("--epochs", type=int, default=d.epochs)
     p.add_argument("--warmup", type=int, default=d.warmup)
     p.add_argument("--early_stopping_epochs", type=int, default=d.early_stopping_epochs)
@@ -173,6 +230,11 @@ def reference_arg_parser():
     p.add_argument("--no_cuda", action="store_true",
                    help="accepted for reference CLI compatibility; ignored (TPU/CPU chosen by JAX)")
     p.add_argument("--dynamic_binarization", action="store_true", default=None)
+    p.add_argument("--conv_enc_spec", type=str, default=d.conv_enc_spec,
+                   help="ConvHVAE encoder stack, e.g. '32k7s1,32k3s2,...'")
+    p.add_argument("--conv_dec_spec", type=str, default=d.conv_dec_spec,
+                   help="ConvHVAE decoder stack, 't'=transpose conv")
+    p.add_argument("--conv_proj_channels", type=int, default=d.conv_proj_channels)
     # TPU-native extras
     p.add_argument("--mesh", type=str, default=None,
                    help="comma-separated mesh shape over ('data',), e.g. '8'")
@@ -200,15 +262,21 @@ def config_from_args(ns) -> Config:
         number_components=ns.number_components,
         approximate_prior=ns.approximate_prior,
         approximate_k=ns.approximate_k,
+        approximate_support=ns.approximate_support,
         prior_variance_init=ns.prior_variance,
+        prior_var_min=ns.prior_var_min,
         no_mask=ns.no_mask,
         use_training_data_init=ns.use_training_data_init,
         z1_size=ns.z1_size,
         z2_size=ns.z2_size,
         hidden_size=ns.hidden_size,
+        conv_enc_spec=ns.conv_enc_spec,
+        conv_dec_spec=ns.conv_dec_spec,
+        conv_proj_channels=ns.conv_proj_channels,
         batch_size=ns.batch_size,
         test_batch_size=ns.test_batch_size,
         lr=ns.lr,
+        optimizer=ns.optimizer,
         epochs=ns.epochs,
         warmup=ns.warmup,
         early_stopping_epochs=ns.early_stopping_epochs,

@@ -62,11 +62,28 @@ def reconstruction_log_lik(x, x_mean, x_logvar, input_type: str):
     return log_logistic_256(xf, mf, lvf)
 
 
-def clamped_prior_log_var(params):
-    """Module-free access to the clamped prior log-variance (same [-8, 8]
-    hardtanh as PriorMixin.get_prior_log_var) for code that works on raw
-    param dicts (sharded paths, sampling, augmentation)."""
-    return hardtanh(params["prior_log_var"], -8.0, 8.0)
+def prior_log_var_floor(cfg) -> float:
+    """Lower clamp for the learned prior log-variance.
+
+    Default -8.0 (a pure fp32-overflow guard that never binds in healthy
+    training). ``cfg.prior_var_min > 0`` raises it to log(prior_var_min) —
+    the opt-in sigma^2-collapse mitigation (docs/DESIGN.md §4b): the
+    measured divergence is driven by sigma^2 shrinking until the prior's
+    1/sigma^2 curvature makes AdamNormGrad's constant-size steps overshoot;
+    flooring sigma^2 caps that curvature so a long run can finish instead
+    of aborting. With prior_var_min == 0 (default) the clamp is the
+    round-2 constant and behavior is bit-identical."""
+    if cfg is not None and getattr(cfg, "prior_var_min", 0.0) > 0.0:
+        return max(-8.0, math.log(cfg.prior_var_min))
+    return -8.0
+
+
+def clamped_prior_log_var(params, cfg=None):
+    """Module-free access to the clamped prior log-variance (same hardtanh
+    as PriorMixin.get_prior_log_var) for code that works on raw param
+    dicts (sharded paths, sampling, augmentation). Pass cfg to honor the
+    opt-in cfg.prior_var_min floor."""
+    return hardtanh(params["prior_log_var"], prior_log_var_floor(cfg), 8.0)
 
 
 def rows_exemplar_log_prob(z, means_bk, log_var, *, log_denom,
@@ -127,8 +144,10 @@ class PriorMixin:
         like 1/sigma^2 until AdamNormGrad's constant-magnitude steps
         overshoot and training blows up within an epoch (same in fp32 and
         bf16, bitwise-deterministic; docs/DESIGN.md §4b). The trainer's
-        non-finite abort + best-on-val selection contain the damage."""
-        return hardtanh(self.prior_log_var, -8.0, 8.0)
+        non-finite abort + best-on-val selection contain the damage; the
+        opt-in cfg.prior_var_min floor (prior_log_var_floor) is the
+        user-facing mitigation that lets such a run finish."""
+        return hardtanh(self.prior_log_var, prior_log_var_floor(self.cfg), 8.0)
 
     def get_pseudo_inputs(self):
         """Pseudo-inputs clamped to valid pixel range (reference applies

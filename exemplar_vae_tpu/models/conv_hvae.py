@@ -3,14 +3,18 @@
 
 Same factorization as HVAE (q(z2|x) q(z1|x,z2); p(z2) p(z1|z2) p(x|z1,z2))
 with GatedConv2d encoder stacks and a GatedConvTranspose decoder, NHWC.
-Channel counts follow the reference's ~32/64-channel 5x5/3x3 design
-(SURVEY.md §0.2 [M] — exact counts are a rebuild choice, documented here):
 
-  encoder:  GC(32,7x7,s1) -> GC(32,3x3,s2) -> GC(64,5x5,s1) -> GC(64,3x3,s2)
-  decoder:  dense -> (H/4, W/4, 64) -> GCT(64,s2) -> GCT(32,s2)
-            -> GC(32,3x3,s1) -> 1x1 conv heads
+The conv stacks are CONFIG-DRIVEN (cfg.conv_enc_spec / cfg.conv_dec_spec /
+cfg.conv_proj_channels, grammar in config.py::parse_conv_spec). The default
+spec — enc GC(32,7x7,s1)->GC(32,3x3,s2)->GC(64,5x5,s1)->GC(64,3x3,s2),
+dec dense->(H/4,W/4,64)->GCT(64,s2)->GCT(32,s2)->GC(32,3x3,s1)->1x1 heads —
+follows the reference's ~32/64-channel 5x5/3x3 design (SURVEY.md §0.2 [M]:
+exact channel counts are a rebuild assumption; externalizing them means the
+session-0 correction against a populated reference mount is a config edit).
 
-Requires H and W divisible by 4 (28x28 and 64x64 both are).
+Requires H and W divisible by the encoder's total downsampling factor
+(product of encoder strides), which must equal the decoder's total
+upsampling factor (product of transpose-conv strides).
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.config import Config, parse_conv_spec
 from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
 from exemplar_vae_tpu.models.layers import (
     GatedConv2d,
@@ -33,13 +37,21 @@ from exemplar_vae_tpu.models.layers import (
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
 
-def _enc_stack(dt):
-    return [
-        GatedConv2d(32, (7, 7), (1, 1), dtype=dt),
-        GatedConv2d(32, (3, 3), (2, 2), dtype=dt),
-        GatedConv2d(64, (5, 5), (1, 1), dtype=dt),
-        GatedConv2d(64, (3, 3), (2, 2), dtype=dt),
-    ]
+def _build_stack(spec: str, dt):
+    """Instantiate a conv stack from a parsed spec string."""
+    layers = []
+    for kind, feat, k, s in parse_conv_spec(spec):
+        cls = GatedConvTranspose2d if kind == "t" else GatedConv2d
+        layers.append(cls(feat, (k, k), (s, s), dtype=dt))
+    return layers
+
+
+def _total_stride(spec: str, kinds=("c", "t")) -> int:
+    out = 1
+    for kind, _, _, s in parse_conv_spec(spec):
+        if kind in kinds:
+            out *= s
+    return out
 
 
 class ConvHVAE(nn.Module, PriorMixin):
@@ -50,15 +62,22 @@ class ConvHVAE(nn.Module, PriorMixin):
         h = cfg.hidden_size
         dt = compute_dtype(cfg)
         c_in, ih, iw = cfg.input_size
-        assert ih % 4 == 0 and iw % 4 == 0, "ConvHVAE needs H, W divisible by 4"
-        self._dec_hw = (ih // 4, iw // 4)
+        down = _total_stride(cfg.conv_enc_spec)
+        up = _total_stride(cfg.conv_dec_spec, kinds=("t",))
+        assert down == up, (
+            f"encoder downsampling x{down} != decoder upsampling x{up} "
+            f"(conv_enc_spec={cfg.conv_enc_spec!r}, "
+            f"conv_dec_spec={cfg.conv_dec_spec!r})")
+        assert ih % down == 0 and iw % down == 0, (
+            f"ConvHVAE needs H, W divisible by {down}")
+        self._dec_hw = (ih // down, iw // down)
         # q(z2 | x)
-        self.q_z2_conv = _enc_stack(dt)
+        self.q_z2_conv = _build_stack(cfg.conv_enc_spec, dt)
         self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
         self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
                                           dtype=dt)
         # q(z1 | x, z2)
-        self.q_z1_conv = _enc_stack(dt)
+        self.q_z1_conv = _build_stack(cfg.conv_enc_spec, dt)
         self.q_z1_z2 = GatedDense(h, dtype=dt)
         self.q_z1_joint = GatedDense(h, dtype=dt)
         self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
@@ -73,12 +92,8 @@ class ConvHVAE(nn.Module, PriorMixin):
         self.p_x_z1 = GatedDense(h, dtype=dt)
         self.p_x_z2 = GatedDense(h, dtype=dt)
         dh, dw = self._dec_hw
-        self.p_x_project = nn.Dense(dh * dw * 64, dtype=dt)
-        self.p_x_deconv = [
-            GatedConvTranspose2d(64, (3, 3), (2, 2), dtype=dt),
-            GatedConvTranspose2d(32, (3, 3), (2, 2), dtype=dt),
-            GatedConv2d(32, (3, 3), (1, 1), dtype=dt),
-        ]
+        self.p_x_project = nn.Dense(dh * dw * cfg.conv_proj_channels, dtype=dt)
+        self.p_x_deconv = _build_stack(cfg.conv_dec_spec, dt)
         self.p_x_mean_head = nn.Conv(c_in, (1, 1), dtype=dt)
         if cfg.input_type != "binary":
             self.p_x_logvar_head = nn.Conv(c_in, (1, 1), dtype=dt)
@@ -128,7 +143,7 @@ class ConvHVAE(nn.Module, PriorMixin):
         h2 = self.p_x_z2(z2)
         h = self.p_x_project(jnp.concatenate([h1, h2], axis=-1))
         dh, dw = self._dec_hw
-        h = h.reshape(h.shape[0], dh, dw, 64)
+        h = h.reshape(h.shape[0], dh, dw, self.cfg.conv_proj_channels)
         for layer in self.p_x_deconv:
             h = layer(h)
         x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)

@@ -36,11 +36,15 @@ def knn_indices(q_means, cache_means, k: int, *, block: int = 524_288):
     measured on v5e it beats the two-stage blocked reduction 12x at
     N=200k (1.3 ms vs 15.8 ms for B=100 — the blocked variant sorts
     nb*B narrow tiles and the tile bookkeeping dominates; numbers in
-    docs/DESIGN.md §8c). The EXACT
-    two-stage reduction (per-block top-k, then top-k over the nb*k
-    candidates — identical result, every sort narrow) is kept only as a
-    fallback for caches beyond ~2*block rows, where a single very-wide
-    sort is untested territory.
+    docs/DESIGN.md §8c). The whole cutoff range is now measured (r3,
+    host-fetch-synced, B=100, K=10): wide top_k runs 2.7 ms at N=524k
+    and 4.8 ms at N=1,048,576 vs 103/118 ms blocked, with compile time
+    flat at 1-2 s — so the single sort wins everywhere up to the 2*block
+    boundary, and the compile-time blowup the blocked path was guarding
+    against does not occur on this platform. The EXACT two-stage
+    reduction (per-block top-k, then top-k over the nb*k candidates —
+    identical result, every sort narrow) is kept only as a fallback for
+    caches beyond 2*block rows, which remain unmeasured.
     """
     d = pairwise_sq_dist(q_means, jax.lax.stop_gradient(cache_means))
     b, n = d.shape
@@ -57,6 +61,24 @@ def knn_indices(q_means, cache_means, k: int, *, block: int = 524_288):
     cand_neg = neg_blk.reshape(b, nb * k)
     _, sel = jax.lax.top_k(cand_neg, k)                # (B, k) into candidates
     return jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
+def dedup_valid_mask(flat_idx):
+    """First-occurrence mask for a flat index vector, jit-safe (static shape).
+
+    Used by the batch-union approximate support (SURVEY.md §3.5 "top-K
+    indices per b (union over batch)"): the union of the B*K selected
+    exemplar indices is represented as all B*K entries with duplicates
+    masked out — a logsumexp over the masked set equals the logsumexp over
+    the unique union, at static shape. Returns bool (len,), True where the
+    entry is the first occurrence of its value.
+    """
+    order = jnp.argsort(flat_idx)
+    sorted_ = flat_idx[order]
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_[1:] == sorted_[:-1]])
+    dup = jnp.zeros_like(dup_sorted).at[order].set(dup_sorted)
+    return ~dup
 
 
 def encode_bank(model, variables, bank_images, *, chunk: int = 8192,

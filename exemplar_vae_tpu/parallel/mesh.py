@@ -25,16 +25,24 @@ _DISTRIBUTED_INITIALIZED = False
 
 
 def maybe_init_distributed() -> bool:
-    """Multi-host scaffolding: join the jax.distributed cluster when the
-    standard coordinator env vars are set (single-controller JAX stays the
-    default — SURVEY.md §2.3 'launcher/elastic' row).
+    """Join the jax.distributed cluster when the standard coordinator env
+    vars are set (single-controller JAX stays the default — SURVEY.md §2.3
+    'launcher/elastic' row).
 
     Set JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES /
     JAX_PROCESS_ID, or rely on the TPU metadata autodetection) on every
-    host of a multi-host pod before launching main.py; each process then
-    sees its local chips and `jax.devices()` spans the pod, so the same
-    ('data',) mesh code scales out with zero further changes. Returns True
-    iff initialize() was called. Idempotent.
+    host of a multi-host pod before launching; each process then sees its
+    local chips and `jax.devices()` spans the pod. The mesh/sharding layer
+    (this module, sharded_prior, sharded_knn) is process-count-agnostic,
+    and `Experiment` runs multi-process too: host data goes onto the
+    global mesh via global_put, every process executes the same SPMD
+    program in lockstep, and process 0 owns the filesystem.
+    tests/test_multiprocess.py exercises a real 2-process cluster — both a
+    raw cross-process sharded train step AND a full tiny Experiment epoch,
+    asserted equal to the single-process run. Known limits (documented,
+    not silent): checkpoint save/restore assumes a shared filesystem (npz,
+    rank-0 write) and the orbax multi-host sharded-save path is not wired
+    up. Returns True iff initialize() was called. Idempotent.
     """
     global _DISTRIBUTED_INITIALIZED
     import os
@@ -51,6 +59,27 @@ def maybe_init_distributed() -> bool:
     jax.distributed.initialize(**kw)
     _DISTRIBUTED_INITIALIZED = True
     return True
+
+
+def global_put(arr, sharding: NamedSharding):
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-controller jax.device_put breaks across processes (it requires
+    the target devices to be addressable). make_array_from_callback is the
+    process-agnostic primitive: every process supplies the data for ITS
+    addressable shards from the full host array, and the result is one
+    global jax.Array. Requires every process to hold identical host data
+    (true here: synthetic data is deterministic, real loaders read the same
+    files, and state init derives from cfg.seed). Single-process it is
+    equivalent to device_put.
+    """
+    if jax.process_count() == 1:
+        # plain device_put: equivalent, and avoids the per-shard callback
+        # fetch path (observed to stall on this image's tunneled TPU)
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def create_mesh(cfg: Config) -> Mesh:

@@ -145,9 +145,21 @@ def make_sharded_approx_prior(model, cfg: Config, mesh: Mesh):
                 bank_key = jax.random.PRNGKey(0)
             flat = bank_pre_fn(cfg)(bank_key, flat.astype(jnp.uint8))
         means = model.apply(variables, flat, method="encode_top_mean")
-        means = means.reshape(rows.shape + (means.shape[-1],))
         from exemplar_vae_tpu.models.base import clamped_prior_log_var
-        log_var = clamped_prior_log_var(variables["params"])
+        log_var = clamped_prior_log_var(variables["params"], cfg)
+        if cfg.approximate_support == "batch_union":
+            # rows/means are replicated at this level, so the union path is
+            # identical to the single-device one (train/loss.py): all B*K
+            # entries with duplicates masked (Config.approximate_support)
+            from exemplar_vae_tpu.ops.exemplar_prior import exemplar_log_prob
+            from exemplar_vae_tpu.ops.knn import dedup_valid_mask
+            flat_rows = rows.reshape(-1)
+            return exemplar_log_prob(
+                out.z_top, means, log_var, log_denom=log_denom,
+                data_idx=loo_idx, exemplar_idx=ex_idx_bk.reshape(-1),
+                valid=dedup_valid_mask(flat_rows), impl="scan",
+                block_n=cfg.prior_block_n)
+        means = means.reshape(rows.shape + (means.shape[-1],))
         return rows_exemplar_log_prob(
             out.z_top, means, log_var, log_denom=log_denom,
             data_idx=loo_idx, exemplar_idx_bk=ex_idx_bk)

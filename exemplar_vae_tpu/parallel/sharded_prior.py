@@ -49,7 +49,7 @@ def make_sharded_exact_prior(model, cfg: Config, mesh: Mesh):
                             remat=cfg.exact_remat,
                             pre_fn=pre, pre_key=bank_key)
         from exemplar_vae_tpu.models.base import clamped_prior_log_var
-        log_var = clamped_prior_log_var(variables["params"])
+        log_var = clamped_prior_log_var(variables["params"], cfg)
         lse_local = _pairwise_lse(z, means, log_var, loo_idx, bank_idx,
                                   bank_valid, impl, cfg.prior_block_n)
         m = jax.lax.pmax(jax.lax.stop_gradient(lse_local), axis)

@@ -49,7 +49,7 @@ def make_augment_fn(vae_model, vae_params, cfg: Config):
     """x -> exemplar-conditioned sample of x (label-preserving)."""
     variables = {"params": vae_params}
     from exemplar_vae_tpu.models.base import clamped_prior_log_var
-    sigma2_logvar = (clamped_prior_log_var(vae_params)
+    sigma2_logvar = (clamped_prior_log_var(vae_params, cfg)
                      if cfg.prior == "exemplar_prior" else jnp.float32(0.0))
 
     def augment(key, x):

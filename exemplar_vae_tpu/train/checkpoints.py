@@ -74,20 +74,36 @@ def _orbax_checkpointer():
 def _save_orbax(d, tree_dict):
     """Orbax backend (cfg.checkpoint_backend='orbax'): async-capable,
     multi-host-coordinated saves — the right backend once a run spans
-    processes (mesh.maybe_init_distributed). One StandardCheckpointer save
-    of the combined {state, best_params, cache} pytree."""
-    path = os.path.abspath(os.path.join(d, "orbax"))
+    processes (mesh.maybe_init_distributed).
+
+    Durability matches the npz path's tmp+os.replace: the new checkpoint is
+    fully written to a sibling `orbax.tmp` dir first, then swapped in with
+    two directory renames. A crash or preemption at any point leaves either
+    the old complete checkpoint at `orbax`, or (in the instant between the
+    two renames) a complete copy at `orbax.old` which _restore_orbax falls
+    back to — the previous resume point is never destroyed before the new
+    one is committed."""
+    import shutil
+    final = os.path.abspath(os.path.join(d, "orbax"))
+    tmp, old = final + ".tmp", final + ".old"
+    for p in (tmp, old):
+        if os.path.exists(p):
+            shutil.rmtree(p)
     ckptr = _orbax_checkpointer()
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)  # orbax refuses to overwrite an existing step
-    ckptr.save(path, tree_dict)
-    ckptr.wait_until_finished()
+    ckptr.save(tmp, tree_dict)
+    ckptr.wait_until_finished()  # tmp is now a complete checkpoint
+    if os.path.exists(final):
+        os.replace(final, old)
+    os.replace(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _restore_orbax(d, template_dict):
     ckptr = _orbax_checkpointer()
     path = os.path.abspath(os.path.join(d, "orbax"))
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        path = path + ".old"  # crash landed between the two save renames
     try:
         return ckptr.restore(path, template_dict)
     except Exception as e:  # structure/shape drift must fail loudly

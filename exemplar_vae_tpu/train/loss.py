@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.models.base import reconstruction_log_lik
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
-from exemplar_vae_tpu.ops.knn import encode_bank, knn_indices
+from exemplar_vae_tpu.ops.knn import dedup_valid_mask, encode_bank, knn_indices
 from exemplar_vae_tpu.ops.preprocess import preprocess_batch
 
 
@@ -106,6 +106,17 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
         if pre is not None:
             flat = pre(bank_key, flat)
         means = model.apply(variables, flat, method="encode_top_mean")
+        if cfg.approximate_support == "batch_union":
+            # union over the batch (SURVEY.md §3.5 reading): every point's
+            # mixture runs over all B*K selected exemplars, duplicates
+            # masked so each unique exemplar counts once (Config docstring)
+            flat_idx = idx.reshape(-1)
+            return model.apply(
+                variables, out.z_top, bank_means=means, data_idx=loo_idx,
+                exemplar_idx=jnp.take(bank.data_idx, flat_idx),
+                valid=dedup_valid_mask(flat_idx), log_denom=log_denom,
+                impl="scan", block_n=cfg.prior_block_n,
+                method="log_p_z_top")
         means = means.reshape(idx.shape + (means.shape[-1],))
         ex_idx_bk = jnp.take(bank.data_idx, idx, axis=0)
         return model.apply(

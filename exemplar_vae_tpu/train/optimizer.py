@@ -43,3 +43,28 @@ def adam_norm_grad(lr: float, b1: float = 0.9, b2: float = 0.999,
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
         optax.scale(-lr),
     )
+
+
+def plain_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+               eps: float = 1e-8) -> optax.GradientTransformation:
+    """Standard Adam with the same hyperparameters, WITHOUT the per-tensor
+    gradient normalization. Not a reference mode — used by the
+    variance-reduced trajectory-parity harness (tools/parity_trajectory.py):
+    AdamNormGrad amplifies fp32 noise chaotically (normalizing a near-zero
+    gradient tensor multiplies its noise up to unit scale), which forces
+    loose cross-framework tolerances; plain Adam keeps trajectories
+    contractive so a systematic convention drift can't hide inside the
+    chaos envelope."""
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale(-lr),
+    )
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """cfg.optimizer -> GradientTransformation."""
+    if cfg.optimizer == "adam_norm_grad":
+        return adam_norm_grad(cfg.lr)
+    if cfg.optimizer == "adam":
+        return plain_adam(cfg.lr)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

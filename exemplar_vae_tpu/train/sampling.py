@@ -43,7 +43,7 @@ def generate_x(model, params, cfg: Config, n: int, key,
         ex = _prep(k_bin, bank_images_raw[idx], cfg)
         mu = model.apply(variables, ex, method="encode_top_mean")
         from exemplar_vae_tpu.models.base import clamped_prior_log_var
-        log_var = clamped_prior_log_var(params)
+        log_var = clamped_prior_log_var(params, cfg)
         z = mu + jnp.exp(0.5 * log_var) * jax.random.normal(k_z, mu.shape)
     return model.apply(variables, z, k_dec, method="generate_from_top")
 
@@ -59,7 +59,7 @@ def reference_based_generation_x(model, params, cfg: Config, key, x_ref_raw,
     if n_per_ref > 1:
         mu = jnp.repeat(mu, n_per_ref, axis=0)
     from exemplar_vae_tpu.models.base import clamped_prior_log_var
-    log_var = (clamped_prior_log_var(params)
+    log_var = (clamped_prior_log_var(params, cfg)
                if cfg.prior == "exemplar_prior" else 0.0)
     z = mu + jnp.exp(0.5 * jnp.asarray(log_var)) * jax.random.normal(
         k_z, mu.shape)

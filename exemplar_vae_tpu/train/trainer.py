@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.data.loaders import load_dataset
 from exemplar_vae_tpu.models import create_model
-from exemplar_vae_tpu.parallel.mesh import create_mesh, pad_to_shards
+from exemplar_vae_tpu.parallel.mesh import create_mesh, global_put, pad_to_shards
 from exemplar_vae_tpu.parallel.sharded_prior import make_sharded_exact_prior
 from exemplar_vae_tpu.train.evaluation import (
     make_elbo_eval_fn,
@@ -35,7 +35,7 @@ from exemplar_vae_tpu.train.evaluation import (
     make_iwae_fn,
 )
 from exemplar_vae_tpu.train.loss import Bank
-from exemplar_vae_tpu.train.optimizer import adam_norm_grad
+from exemplar_vae_tpu.train.optimizer import make_optimizer
 from exemplar_vae_tpu.train.steps import (
     TrainState,
     init_train_state,
@@ -63,14 +63,22 @@ class Experiment:
             nan_debug(True)
         self.mesh = create_mesh(cfg)
         self.multi = self.mesh.devices.size > 1
+        # Multi-process (pod) support: every process loads identical host
+        # data (deterministic loaders), arrays go onto the global mesh via
+        # global_put (make_array_from_callback — process-agnostic), every
+        # process executes the same jitted SPMD program in lockstep, and
+        # only process 0 touches the filesystem (metrics, checkpoints,
+        # artifacts). Exercised for real by tests/test_multiprocess.py's
+        # 2-process Experiment run.
+        self._is_main = jax.process_index() == 0
         self.model = create_model(cfg)
-        self.tx = adam_norm_grad(cfg.lr)
+        self.tx = make_optimizer(cfg)
         self.key = jax.random.PRNGKey(cfg.seed)
 
         # --- device-resident data ---
         repl = NamedSharding(self.mesh, P())
-        self.train_x = jax.device_put(self.splits.train_x, repl)
-        self.train_idx = jax.device_put(self.splits.train_idx, repl)
+        self.train_x = global_put(self.splits.train_x, repl)
+        self.train_idx = global_put(self.splits.train_idx, repl)
         self.n_train = int(self.splits.train_x.shape[0])
         self.steps_per_epoch = self.n_train // cfg.batch_size
         if self.steps_per_epoch == 0:
@@ -99,12 +107,12 @@ class Experiment:
                 top = cfg.z1_size if cfg.model_name.lower() == "vae" else cfg.z2_size
                 # cache is sharded alongside the bank on a mesh, replicated
                 # on a single chip
-                cache = jax.device_put(np.zeros((len(imgs), top), np.float32),
-                                       shard)
+                cache = global_put(np.zeros((len(imgs), top), np.float32),
+                                   shard)
             self.bank = Bank(
-                images=jax.device_put(imgs, shard),
-                data_idx=jax.device_put(idxs, shard),
-                valid=jax.device_put(valid, shard),
+                images=global_put(imgs, shard),
+                data_idx=global_put(idxs, shard),
+                valid=global_put(valid, shard),
                 cache_means=cache,
                 n_effective=n_ex,
             )
@@ -139,9 +147,15 @@ class Experiment:
                            NamedSharding(self.mesh, batch_spec)))
 
         # --- state ---
-        self.state = jax.device_put(
-            init_train_state(self.model, self.tx, cfg,
-                             jax.random.fold_in(self.key, 0)), repl)
+        state = init_train_state(self.model, self.tx, cfg,
+                                 jax.random.fold_in(self.key, 0))
+        if jax.process_count() > 1:
+            # host round-trip so placement is process-agnostic (init
+            # derives from cfg.seed, so every process computed identically)
+            self.state = jax.tree.map(lambda a: global_put(a, repl),
+                                      jax.device_get(state))
+        else:
+            self.state = jax.device_put(state, repl)
         if cfg.prior == "vampprior" and cfg.use_training_data_init:
             # reference: add_pseudoinputs(use_training_data_init) seeds the
             # pseudo-inputs with the first C training points [U]
@@ -153,7 +167,7 @@ class Experiment:
             if self.splits.train_x.dtype == np.uint8:
                 seed_imgs = seed_imgs / 256.0  # same scale as ops/preprocess.to_float
             params = dict(self.state.params)
-            params["pseudo_inputs"] = jax.device_put(seed_imgs, repl)
+            params["pseudo_inputs"] = global_put(seed_imgs, repl)
             self.state = self.state._replace(params=params)
         self.epoch = 0
         self.best_val = float("inf")
@@ -161,11 +175,12 @@ class Experiment:
         self.best_params = jax.device_get(self.state.params)
         self.bad_epochs = 0
 
-        # --- experiment dir + metrics ---
+        # --- experiment dir + metrics (process 0 owns the filesystem) ---
         self.exp_dir = os.path.join(cfg.snapshot_dir, cfg.experiment_name())
-        os.makedirs(self.exp_dir, exist_ok=True)
-        with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
-            f.write(cfg.to_json())
+        if self._is_main:
+            os.makedirs(self.exp_dir, exist_ok=True)
+            with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
+                f.write(cfg.to_json())
         self._metrics_path = os.path.join(self.exp_dir, "metrics.jsonl")
 
     # ------------------------------------------------------------------
@@ -181,6 +196,8 @@ class Experiment:
         return ex, jnp.take(train_idx, perm, axis=0)
 
     def _log(self, record):
+        if not self._is_main:
+            return
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self.verbose:
@@ -273,8 +290,9 @@ class Experiment:
         """IWAE NLL on test with the best params (reference
         final_evaluation [U]), plus visual artifacts."""
         cfg = self.cfg
-        params = jax.device_put(self.best_params,
-                                NamedSharding(self.mesh, P()))
+        params = jax.tree.map(
+            lambda a: global_put(a, NamedSharding(self.mesh, P())),
+            self.best_params)
         fkey = jax.random.fold_in(self.key, 999_983)
         eval_bank = (self.build_eval_bank(params, self.bank, fkey)
                      if self.bank is not None else None)
@@ -285,12 +303,13 @@ class Experiment:
             params, self.splits.val_x, jax.random.fold_in(fkey, 2), eval_bank)
         results = {"test_nll": float(test_nll), "best_val_loss": float(val_loss),
                    "epochs_trained": self.epoch}
-        with open(os.path.join(self.exp_dir, "results.json"), "w") as f:
-            json.dump(results, f, indent=2)
-        try:
-            self.save_artifacts(params, eval_bank, fkey)
-        except Exception as e:  # plotting must never kill a finished run
-            results["artifact_error"] = str(e)
+        if self._is_main:
+            with open(os.path.join(self.exp_dir, "results.json"), "w") as f:
+                json.dump(results, f, indent=2)
+            try:
+                self.save_artifacts(params, eval_bank, fkey)
+            except Exception as e:  # plotting must never kill a finished run
+                results["artifact_error"] = str(e)
         self._log({"final_test_nll": float(test_nll)})
         return results
 
@@ -337,8 +356,22 @@ class Experiment:
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: str = "last"):
         from exemplar_vae_tpu.train.checkpoints import save_checkpoint
+        if not self._is_main:
+            # npz backend: state is replicated, so rank 0's copy is the
+            # whole state; other ranks skip the write. (An orbax multi-host
+            # sharded save would need all ranks — not wired up yet.)
+            return
         save_checkpoint(self, tag)
 
     def restore_checkpoint(self, tag: str = "last") -> bool:
         from exemplar_vae_tpu.train.checkpoints import restore_checkpoint
-        return restore_checkpoint(self, tag)
+        ok = restore_checkpoint(self, tag)
+        if ok:
+            # re-place host-loaded leaves process-agnostically (the loaded
+            # trees are plain numpy; implicit placement would fail on a
+            # multi-process mesh and single-process relies on jit's
+            # implicit commit — make it explicit for both)
+            repl = NamedSharding(self.mesh, P())
+            self.state = jax.tree.map(lambda a: global_put(a, repl),
+                                      jax.device_get(self.state))
+        return ok

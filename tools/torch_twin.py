@@ -43,11 +43,14 @@ class TorchTwin:
     """Functional torch model over a flat dict of flax-layout parameters."""
 
     def __init__(self, flax_params, lr=5e-4, betas=(0.9, 0.999),
-                 adam_eps=1e-8, norm_eps=1e-7):
+                 adam_eps=1e-8, norm_eps=1e-7, norm_grads=True):
         import torch
 
         self.torch = torch
         self.norm_eps = norm_eps
+        # norm_grads=False -> plain Adam (the variance-reduced parity mode,
+        # matching train/optimizer.py::plain_adam)
+        self.norm_grads = norm_grads
         self.p = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
                   for k, v in _flatten(flax_params).items()}
         self.z_dim = self._resolve_z_dim()
@@ -130,9 +133,10 @@ class TorchTwin:
         loss = (-re + beta * kl).mean()
         self.opt.zero_grad()
         loss.backward()
-        for t in self.p.values():  # AdamNormGrad: g <- g / (||g||_2 + 1e-7)
-            if t.grad is not None:
-                t.grad.div_(t.grad.norm() + self.norm_eps)
+        if self.norm_grads:
+            for t in self.p.values():  # AdamNormGrad: g <- g/(||g||_2 + 1e-7)
+                if t.grad is not None:
+                    t.grad.div_(t.grad.norm() + self.norm_eps)
         self.opt.step()
         return float(loss)
 
@@ -266,7 +270,162 @@ class TorchTwinHVAE(TorchTwin):
         p1_mean, p1_logvar = self._p_z1(z2)
         extra_kl = (self._log_q(z1, q1_mean, q1_logvar)
                     - self._log_q(z1, p1_mean, p1_logvar))
-        re = self._re_bernoulli(x2d, self.decode_probs(z1, z2))
+        re = self._recon(x2d, z1, z2)
         log_q = self._log_q(z2, q2_mean, q2_logvar)
         log_p = self._log_p_exemplar(z2, bank2d, data_idx, bank_idx, log_denom)
         return re, log_q - log_p + extra_kl
+
+    def _recon(self, x2d, z1, z2):
+        """Reconstruction term hook (overridden by the conv twin for the
+        logistic-256 likelihood)."""
+        return self._re_bernoulli(x2d, self.decode_probs(z1, z2))
+
+
+class TorchTwinConvHVAE(TorchTwinHVAE):
+    """Trainable torch twin of the 2-level ConvHVAE (models/conv_hvae.py).
+
+    Pins the conv conventions the flagship parity configs (3: ConvHVAE
+    Fashion; 4: ConvHVAE CelebA) ride on and that no MLP twin touches:
+
+    * flax ``nn.Conv`` SAME padding — asymmetric (low = total//2) when the
+      total pad is odd (e.g. k=3 s=2 on even sizes), re-derived here from
+      XLA's SAME definition ``total = max((ceil(n/s)-1)*s + k - n, 0)``;
+    * flax ``nn.ConvTranspose`` SAME semantics — fractionally-strided
+      CORRELATION (no kernel flip, ``transpose_kernel=False``): dilate the
+      input by the stride, pad per lax's transpose-SAME rule
+      ``pad_len = k + s - 2; pad_a = k-1 if s > k-1 else ceil(pad_len/2)``,
+      then a stride-1 conv — output is exactly ``in * s``;
+    * NHWC flatten order between the conv stacks and the dense heads;
+    * the gated-conv channel split (value = first half of 2F channels);
+    * the logistic-256 conv head for gray/continuous inputs: mean
+      sigmoid-clipped to [1/512, 1-1/512], log-var hardtanh [-4.5, 0],
+      discretized-logistic CDF difference over 1/256 bins (+1e-7).
+
+    Nothing is copied — the reference mount is empty; this re-expresses the
+    behavioral contract (SURVEY.md §0.2) independently in torch.
+
+    The conv stack layout comes from the SAME spec strings that drive the
+    JAX model (config.py::parse_conv_spec), so twin and model always agree
+    on depth/kernels/strides.
+    """
+
+    def __init__(self, flax_params, lr=5e-4, *, input_size=(1, 28, 28),
+                 input_type="binary", enc_spec=None, dec_spec=None,
+                 proj_channels=64, **kw):
+        from exemplar_vae_tpu.config import Config, parse_conv_spec
+        d = Config()
+        self.c, self.h, self.w = input_size
+        self.input_type = input_type
+        self.enc = parse_conv_spec(enc_spec or d.conv_enc_spec)
+        self.dec = parse_conv_spec(dec_spec or d.conv_dec_spec)
+        self.proj_channels = proj_channels
+        self.down = 1
+        for _, _, _, s in self.enc:
+            self.down *= s
+        super().__init__(flax_params, lr=lr, **kw)
+
+    # ---------------- conv primitives (flax semantics, torch autograd) ----
+    def _to_nchw(self, x2d):
+        return x2d.reshape(-1, self.h, self.w, self.c).permute(0, 3, 1, 2)
+
+    def _nchw_flat(self, x):
+        """NCHW -> flax's NHWC flatten order."""
+        return x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+
+    def _conv(self, x, name, stride):
+        F = self.torch.nn.functional
+        w = self.p[f"{name}/kernel"]          # flax layout (kh, kw, in, out)
+        b = self.p[f"{name}/bias"]
+        k = w.shape[0]
+
+        def pads(n):
+            total = max((-(-n // stride) - 1) * stride + k - n, 0)
+            return total // 2, total - total // 2
+        ph, pw = pads(x.shape[2]), pads(x.shape[3])
+        x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+        return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=stride)
+
+    def _conv_t(self, x, name, stride):
+        F = self.torch.nn.functional
+        w = self.p[f"{name}/kernel"]          # (kh, kw, in, out)
+        b = self.p[f"{name}/bias"]
+        k = w.shape[0]
+        if stride > 1:                        # fractional stride: dilate input
+            n, c, hh, ww = x.shape
+            z = x.new_zeros(n, c, (hh - 1) * stride + 1, (ww - 1) * stride + 1)
+            z[:, :, ::stride, ::stride] = x
+            x = z
+        pad_len = k + stride - 2              # lax transpose-SAME rule
+        pad_a = k - 1 if stride > k - 1 else -(-pad_len // 2)
+        pad_b = pad_len - pad_a
+        x = F.pad(x, (pad_a, pad_b, pad_a, pad_b))
+        return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=1)
+
+    def _gated_conv(self, x, name, stride):
+        hg = self._conv(x, f"{name}/Conv_0", stride)
+        h, g = hg.chunk(2, dim=1)
+        return h * self.torch.sigmoid(g)
+
+    def _gated_conv_t(self, x, name, stride):
+        hg = self._conv_t(x, f"{name}/ConvTranspose_0", stride)
+        h, g = hg.chunk(2, dim=1)
+        return h * self.torch.sigmoid(g)
+
+    def _conv_stack(self, x2d, prefix):
+        x = self._to_nchw(x2d)
+        for i, (kind, _, _, s) in enumerate(self.enc):
+            x = self._gated_conv(x, f"{prefix}_{i}", s)
+        return self._nchw_flat(x)
+
+    # ---------------- inference net ---------------------------------------
+    def encode(self, x2d):
+        h = self._conv_stack(x2d, "q_z2_conv")
+        mean = self._dense(h, "q_z2_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "q_z2_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    def _q_z1(self, x2d, z2):
+        hx = self._conv_stack(x2d, "q_z1_conv")
+        hz = self._gated(z2, "q_z1_z2")
+        h = self._gated(self.torch.cat([hx, hz], -1), "q_z1_joint")
+        mean = self._dense(h, "q_z1_mean_head")
+        logvar = self.torch.clamp(self._dense(h, "q_z1_logvar_head/Dense_0"),
+                                  -6.0, 2.0)
+        return mean, logvar
+
+    # ---------------- generative net --------------------------------------
+    def decode_out(self, z1, z2):
+        """-> (x_mean, x_logvar_or_None), flattened in NHWC order."""
+        torch = self.torch
+        h1 = self._gated(z1, "p_x_z1")
+        h2 = self._gated(z2, "p_x_z2")
+        h = self._dense(torch.cat([h1, h2], -1), "p_x_project")
+        dh, dw = self.h // self.down, self.w // self.down
+        h = h.reshape(-1, dh, dw, self.proj_channels).permute(0, 3, 1, 2)
+        for i, (kind, _, _, s) in enumerate(self.dec):
+            if kind == "t":
+                h = self._gated_conv_t(h, f"p_x_deconv_{i}", s)
+            else:
+                h = self._gated_conv(h, f"p_x_deconv_{i}", s)
+        mean = torch.sigmoid(self._conv(h, "p_x_mean_head", 1))
+        if self.input_type == "binary":
+            return self._nchw_flat(mean), None
+        mean = torch.clamp(mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
+        logvar = torch.clamp(self._conv(h, "p_x_logvar_head", 1), -4.5, 0.0)
+        return self._nchw_flat(mean), self._nchw_flat(logvar)
+
+    def _log_logistic_256(self, x, mean, logvar):
+        torch = self.torch
+        bin_size = 1.0 / 256.0
+        scale = torch.exp(logvar)
+        xs = (torch.floor(x / bin_size) * bin_size - mean) / scale
+        cdf_plus = torch.sigmoid(xs + bin_size / scale)
+        cdf_minus = torch.sigmoid(xs)
+        return torch.log(cdf_plus - cdf_minus + 1e-7).sum(-1)
+
+    def _recon(self, x2d, z1, z2):
+        mean, logvar = self.decode_out(z1, z2)
+        if self.input_type == "binary":
+            return self._re_bernoulli(x2d, mean)
+        return self._log_logistic_256(x2d, mean, logvar)
