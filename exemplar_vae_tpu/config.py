@@ -79,6 +79,10 @@ class Config:
     conv_enc_spec: str = "32k7s1,32k3s2,64k5s1,64k3s2"
     conv_dec_spec: str = "t64k3s2,t32k3s2,c32k3s1"
     conv_proj_channels: int = 64         # bottleneck channels of the decoder projection
+    # PixelHVAE decoder stack (beyond-parity family; externalized like the
+    # conv spec so deepening toward the upstream PixelCNN is a config edit)
+    pixelcnn_features: int = 64
+    pixelcnn_layers: int = 4
 
     # --- optimization (reference defaults, SURVEY.md §0.1) ---
     optimizer: str = "adam_norm_grad"    # adam_norm_grad (reference) | adam

@@ -190,3 +190,36 @@ def test_checkpoint_mismatched_config_fails_loudly(tmp_path):
     exp2.exp_dir = exp.exp_dir  # same files, drifted config
     with pytest.raises(CheckpointMismatch):
         exp2.restore_checkpoint()
+
+
+def test_orbax_save_is_atomic_and_crash_recoverable(tmp_path):
+    """Round-2 ADVICE (medium): a crash mid-save must never destroy the
+    only resume point. The orbax save now writes to orbax.tmp first and
+    swaps with two renames; a crash in the instant between them leaves a
+    complete copy at orbax.old which restore falls back to."""
+    import os
+    import shutil
+
+    cfg = _base(tmp_path, epochs=2, checkpoint_backend="orbax")
+    exp = Experiment(cfg, verbose=False)
+    exp.train_epoch()
+    exp.best_val = 42.0
+    exp.save_checkpoint()
+    d = os.path.join(exp.exp_dir, "ckpt_last")
+    final = os.path.join(d, "orbax")
+    assert os.path.exists(final)
+    assert not os.path.exists(final + ".tmp")  # cleaned up after commit
+    assert not os.path.exists(final + ".old")
+
+    # simulate the crash window between the two renames: final gone,
+    # previous checkpoint parked at .old
+    os.replace(final, final + ".old")
+    exp2 = Experiment(cfg, verbose=False)
+    assert exp2.restore_checkpoint()
+    assert exp2.epoch == 1 and exp2.best_val == 42.0
+
+    # a second save over the recovered layout also commits cleanly
+    shutil.rmtree(final + ".old")
+    exp2.save_checkpoint()
+    assert os.path.exists(final)
+    assert not os.path.exists(final + ".old")
