@@ -36,6 +36,7 @@ from exemplar_vae_tpu.models.layers import (
     compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
+    q_logvar_activation_for,
 )
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
@@ -57,13 +58,13 @@ class PixelHVAE(nn.Module, PriorMixin):
         # PixelHVAE reuses its HVAE encoder [U])
         self.q_z2_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
         self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation_for(cfg),
                                           dtype=dt)
         self.q_z1_x = GatedDense(h, dtype=dt)
         self.q_z1_z2 = GatedDense(h, dtype=dt)
         self.q_z1_joint = GatedDense(h, dtype=dt)
         self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation_for(cfg),
                                           dtype=dt)
         # p(z1 | z2)
         self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
@@ -146,10 +147,88 @@ class PixelHVAE(nn.Module, PriorMixin):
         x_mean, x_logvar = self.decode(x, z1, z2)
         return ForwardOut(z2, q2_mean, q2_logvar, x_mean, x_logvar, extra_kl)
 
+    def _receptive_halfwidth(self) -> int:
+        """Spatial half-width of the masked stack's receptive field: the
+        5x5 'A' input layer reaches 2 pixels, each 3x3 'B' layer adds 1.
+        The 1x1 likelihood heads add nothing."""
+        return 2 + self.cfg.pixelcnn_layers
+
+    def _decode_crop(self, crop, ctx_crop, valid):
+        """Masked-stack forward on a receptive-field crop, reproducing
+        full-image `decode` semantics exactly: positions outside the real
+        image (valid==0) are forced to zero before every conv, matching
+        the zeros that SAME padding supplies in the full-canvas pass
+        (without this, layer biases would leak nonzero features into
+        padding positions and edge pixels would decode differently)."""
+        h = self.pix_in(crop) + ctx_crop
+        for layer in self.pix_layers:
+            h = layer(jax.nn.relu(h) * valid) + ctx_crop
+        h = jax.nn.relu(h)
+        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
+        if self.cfg.input_type == "binary":
+            x_logvar = jnp.zeros_like(x_mean)
+        else:
+            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
+            x_logvar = p_logvar_activation(
+                self.p_x_logvar_head(h)).astype(jnp.float32)
+        return x_mean, x_logvar
+
+    def _sample_pixel(self, x_mean, i, k_pix, b, c_in):
+        if self.cfg.input_type == "binary":
+            u = jax.random.uniform(jax.random.fold_in(k_pix, i), (b, c_in))
+            return (u < x_mean).astype(jnp.float32)
+        return x_mean   # mean fill for continuous
+
     def generate_from_top(self, z2, key):
-        """Autoregressive sampling: raster-order fori_loop over pixels
-        (the reference samples the PixelCNN pixel-by-pixel the same way
-        [U]; here the loop is compiled with static shapes)."""
+        """Autoregressive sampling, raster order (the reference samples
+        the PixelCNN pixel-by-pixel the same way [U]).
+
+        TPU-first: instead of re-running the stack on the full canvas per
+        pixel (O((H*W)^2 * stack) — the reference's approach), each step
+        decodes only a (w+1, 2w+1) receptive-field crop around the target
+        pixel, where w = 2 + pixelcnn_layers. Identical output (see
+        `_decode_crop`), ~H*W/(w+1)(2w+1) x fewer FLOPs (8.6x at 28x28
+        with the default 4-layer stack). One compiled fori_loop, static
+        crop shapes, no host round-trips."""
+        k1, k_pix = jax.random.split(key)
+        p1_mean, p1_logvar = self.p_z1(z2)
+        z1 = reparameterize(k1, p1_mean, p1_logvar)
+        ih, iw = self._hw
+        c_in = self.cfg.input_size[0]
+        pf = self.cfg.pixelcnn_features
+        b = z2.shape[0]
+        w = self._receptive_halfwidth()
+        ch, cw = w + 1, 2 * w + 1
+
+        ctx = self.ctx_proj(jnp.concatenate([z1, z2], axis=-1))
+        ctx = ctx.reshape(b, ih, iw, pf)
+        # pad everything so a (ch, cw) slice at image coords (r, c) puts
+        # the target pixel at crop position (w, w); rows below the target
+        # are never read (causal), so no bottom padding is needed
+        pad = ((0, 0), (w, 0), (w, w), (0, 0))
+        ctx_p = jnp.pad(ctx, pad)
+        valid_p = jnp.pad(jnp.ones((1, ih, iw, 1), ctx.dtype), pad)
+
+        def body(i, canvas_p):
+            r, col = i // iw, i % iw
+            start = (0, r, col, 0)
+            crop = jax.lax.dynamic_slice(canvas_p, start, (b, ch, cw, c_in))
+            ctx_c = jax.lax.dynamic_slice(ctx_p, start, (b, ch, cw, pf))
+            val_c = jax.lax.dynamic_slice(valid_p, (0, r, col, 0),
+                                          (1, ch, cw, 1))
+            x_mean, _ = self._decode_crop(crop, ctx_c, val_c)
+            pix = self._sample_pixel(x_mean[:, w, w, :], i, k_pix, b, c_in)
+            return jax.lax.dynamic_update_slice(
+                canvas_p, pix[:, None, None, :], (0, r + w, col + w, 0))
+
+        canvas_p = jnp.zeros((b, ih + w, iw + 2 * w, c_in), jnp.float32)
+        canvas_p = jax.lax.fori_loop(0, ih * iw, body, canvas_p)
+        return canvas_p[:, w:, w:w + iw, :]
+
+    def generate_from_top_naive(self, z2, key):
+        """Full-canvas-per-pixel sampler (the reference's strategy [U]):
+        kept as the equivalence oracle for `generate_from_top` and for
+        the A/B benchmark."""
         k1, k_pix = jax.random.split(key)
         p1_mean, p1_logvar = self.p_z1(z2)
         z1 = reparameterize(k1, p1_mean, p1_logvar)
@@ -158,14 +237,9 @@ class PixelHVAE(nn.Module, PriorMixin):
         b = z2.shape[0]
 
         def body(i, canvas):
-            x_mean, x_logvar = self.decode(canvas, z1, z2)
+            x_mean, _ = self.decode(canvas, z1, z2)
             r, col = i // iw, i % iw
-            if self.cfg.input_type == "binary":
-                u = jax.random.uniform(jax.random.fold_in(k_pix, i),
-                                       (b, c_in))
-                pix = (u < x_mean[:, r, col, :]).astype(jnp.float32)
-            else:
-                pix = x_mean[:, r, col, :]   # mean fill for continuous
+            pix = self._sample_pixel(x_mean[:, r, col, :], i, k_pix, b, c_in)
             return canvas.at[:, r, col, :].set(pix)
 
         canvas = jnp.zeros((b, ih, iw, c_in), jnp.float32)
