@@ -50,13 +50,28 @@ class Config:
     # implements (docs/DESIGN.md §5 has the A/B numbers).
     approximate_support: str = "per_row"  # per_row | batch_union
     prior_variance_init: float = 1.0     # init for the learned shared sigma^2
-    # Opt-in sigma^2-collapse mitigation (docs/DESIGN.md §4b): floor the
-    # learned prior variance at this value (0 = off, bit-identical to the
-    # plain [-8, 8] overflow clamp). The measured divergence mechanism is
-    # sigma^2 shrinking until prior curvature ~1/sigma^2 makes
-    # AdamNormGrad's constant-magnitude steps overshoot; a floor of e.g.
-    # 0.05 caps the curvature so a long run finishes instead of aborting.
+    # Opt-in floor for the learned prior variance (0 = off, bit-identical
+    # to the plain [-8, 8] overflow clamp). NOTE (round-3, measured): the
+    # sigma_floor_demo falsified the round-2 hypothesis that shrinking
+    # prior sigma^2 drives the late-training divergence — with the floor
+    # binding at 0.05 the run still blew up 2 epochs later. The measured
+    # mechanism (sigma_collapse_diag.json, DESIGN.md §4b) is an ENCODER
+    # runaway: q_logvar saturates at its -6 hardtanh (zero gradient),
+    # then encoder means grow unboundedly until distance^2/sigma^2
+    # overflows fp32 in the prior gradient. Measured outcome: neither this
+    # floor, nor q_logvar_min, nor both, nor plain Adam prevents the
+    # divergence (each shifts the onset; DESIGN.md §4b 5-arm matrix) —
+    # containment (abort + best-on-val) is the working mitigation.
     prior_var_min: float = 0.0
+    # Opt-in raise of the inference-net log-variance clamp floor
+    # (reference hardtanh(-6, 2); -6.0 = off, bit-identical). Measured
+    # (sigma_floor_demo.json): like every other knob, this SHIFTS the
+    # divergence onset on the pathological synthetic config but does not
+    # prevent it — the objective is unbounded there (GMM likelihood
+    # singularity on near-duplicate exemplars; DESIGN.md §4b has the full
+    # 5-arm matrix). Containment (non-finite abort + best-on-val) is the
+    # real mitigation; these knobs exist for experimentation.
+    q_logvar_min: float = -6.0
     no_mask: bool = False                # disable leave-one-out masking (debug flag)
     use_training_data_init: bool = False # vamp pseudo-input init from data
     # Exemplar-BANK preprocessing convention. False (default, reference
@@ -211,7 +226,10 @@ def reference_arg_parser():
     p.add_argument("--prior_variance", type=float, default=d.prior_variance_init)
     p.add_argument("--prior_var_min", type=float, default=d.prior_var_min,
                    help="floor for the learned prior sigma^2 (0 = off); "
-                        "opt-in divergence mitigation, DESIGN.md §4b")
+                        "opt-in curvature cap, DESIGN.md §4b")
+    p.add_argument("--q_logvar_min", type=float, default=d.q_logvar_min,
+                   help="inference-net log-var clamp floor (-6 = reference "
+                        "hardtanh); experimentation knob, DESIGN.md §4b")
     p.add_argument("--no_mask", action="store_true")
     p.add_argument("--use_training_data_init", action="store_true")
     p.add_argument("--z1_size", type=int, default=d.z1_size)
@@ -269,6 +287,7 @@ def config_from_args(ns) -> Config:
         approximate_support=ns.approximate_support,
         prior_variance_init=ns.prior_variance,
         prior_var_min=ns.prior_var_min,
+        q_logvar_min=ns.q_logvar_min,
         no_mask=ns.no_mask,
         use_training_data_init=ns.use_training_data_init,
         z1_size=ns.z1_size,

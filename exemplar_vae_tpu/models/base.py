@@ -67,12 +67,14 @@ def prior_log_var_floor(cfg) -> float:
 
     Default -8.0 (a pure fp32-overflow guard that never binds in healthy
     training). ``cfg.prior_var_min > 0`` raises it to log(prior_var_min) —
-    the opt-in sigma^2-collapse mitigation (docs/DESIGN.md §4b): the
-    measured divergence is driven by sigma^2 shrinking until the prior's
-    1/sigma^2 curvature makes AdamNormGrad's constant-size steps overshoot;
-    flooring sigma^2 caps that curvature so a long run can finish instead
-    of aborting. With prior_var_min == 0 (default) the clamp is the
-    round-2 constant and behavior is bit-identical."""
+    an opt-in curvature cap. Round-3 measurement (sigma_floor_demo.json):
+    this floor alone does NOT stop the late-training divergence — with it
+    binding at 0.05 the known-diverging run still NaN'd 2 epochs later;
+    the measured driver is an encoder runaway after q_logvar saturates at
+    its own -6 clamp (docs/DESIGN.md §4b, sigma_collapse_diag.json). The
+    knob that targets that mechanism is cfg.q_logvar_min. With
+    prior_var_min == 0 (default) the clamp is the round-2 constant and
+    behavior is bit-identical."""
     if cfg is not None and getattr(cfg, "prior_var_min", 0.0) > 0.0:
         return max(-8.0, math.log(cfg.prior_var_min))
     return -8.0
@@ -140,13 +142,16 @@ class PriorMixin:
         bounds exp(-log_var) away from fp32 overflow if sigma^2 ever runs
         away. Note the guard is NOT a divergence cure: a 50k-exemplar
         synthetic run still destabilized at log_var ~ -3.7 (well inside
-        the clamp) — shrinking sigma^2 raises the prior's loss curvature
-        like 1/sigma^2 until AdamNormGrad's constant-magnitude steps
-        overshoot and training blows up within an epoch (same in fp32 and
-        bf16, bitwise-deterministic; docs/DESIGN.md §4b). The trainer's
-        non-finite abort + best-on-val selection contain the damage; the
-        opt-in cfg.prior_var_min floor (prior_log_var_floor) is the
-        user-facing mitigation that lets such a run finish."""
+        the clamp), and the round-3 diagnosis (docs/DESIGN.md §4b,
+        sigma_collapse_diag.json) showed the shrinking sigma^2 is a
+        SYMPTOM: the driver is the inference net's log-variance saturating
+        at its -6 hardtanh (zero gradient) followed by an unbounded
+        encoder-mean runaway under AdamNormGrad's constant-size steps.
+        The trainer's non-finite abort + best-on-val selection contain
+        the damage — and containment is the only mitigation that works:
+        the 5-arm matrix in sigma_floor_demo.json measured every knob
+        (sigma^2 floor, q_logvar floor, both, plain Adam) merely shifting
+        the onset, never preventing it (DESIGN.md §4b)."""
         return hardtanh(self.prior_log_var, prior_log_var_floor(self.cfg), 8.0)
 
     def get_pseudo_inputs(self):

@@ -33,6 +33,7 @@ from exemplar_vae_tpu.models.layers import (
     compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
+    q_logvar_activation_for,
 )
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
@@ -74,14 +75,14 @@ class ConvHVAE(nn.Module, PriorMixin):
         # q(z2 | x)
         self.q_z2_conv = _build_stack(cfg.conv_enc_spec, dt)
         self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation,
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation_for(cfg),
                                           dtype=dt)
         # q(z1 | x, z2)
         self.q_z1_conv = _build_stack(cfg.conv_enc_spec, dt)
         self.q_z1_z2 = GatedDense(h, dtype=dt)
         self.q_z1_joint = GatedDense(h, dtype=dt)
         self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation_for(cfg),
                                           dtype=dt)
         # p(z1 | z2)
         self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]

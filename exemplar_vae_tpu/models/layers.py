@@ -144,6 +144,17 @@ def q_logvar_activation(x):
     return hardtanh(x, -6.0, 2.0)
 
 
+def q_logvar_activation_for(cfg):
+    """Inference-net log-var clamp honoring the opt-in cfg.q_logvar_min
+    floor (default -6.0 == the reference hardtanh, bit-identical). The
+    raised floor is the measured mitigation for the encoder-runaway
+    divergence (docs/DESIGN.md §4b): hardtanh saturation at -6 zeroes the
+    logvar head's gradient and the near-deterministic posterior lets
+    AdamNormGrad integrate a directionally-consistent mean runaway."""
+    lo = float(getattr(cfg, "q_logvar_min", -6.0))
+    return lambda x: hardtanh(x, lo, 2.0)
+
+
 def p_logvar_activation(x):
     """Clamp for continuous-decoder log-variances (reference hardtanh [-4.5, 0])."""
     return hardtanh(x, -4.5, 0.0)

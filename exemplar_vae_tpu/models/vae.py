@@ -19,6 +19,7 @@ from exemplar_vae_tpu.models.layers import (
     compute_dtype,
     p_logvar_activation,
     q_logvar_activation,
+    q_logvar_activation_for,
 )
 
 
@@ -31,7 +32,7 @@ class VAE(nn.Module, PriorMixin):
         dt = compute_dtype(cfg)
         self.q_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
         self.q_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.q_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation, dtype=dt)
+        self.q_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation_for(cfg), dtype=dt)
         self.p_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
         self.p_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid, dtype=dt)
         if cfg.input_type != "binary":

@@ -216,3 +216,49 @@ def test_parse_conv_spec_rejects_garbage():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="bad conv-spec"):
         parse_conv_spec("32x7s1")
+
+
+@pytest.mark.parametrize("input_type", ["binary", "gray"])
+def test_pixelhvae_cropped_sampler_matches_naive(input_type):
+    """generate_from_top decodes a receptive-field crop per pixel; it must
+    produce the SAME samples as the full-canvas-per-pixel oracle
+    (generate_from_top_naive), including at image edges where the crop's
+    validity masking has to reproduce SAME-padding zeros."""
+    cfg = Config(model_name="pixelhvae_2level", prior="standard",
+                 hidden_size=32, z1_size=6, z2_size=8,
+                 input_size=(1, 10, 10), input_type=input_type,
+                 pixelcnn_features=16, pixelcnn_layers=2)
+    m = create_model(cfg)
+    x = jnp.linspace(0, 1, 3 * 10 * 10).reshape(3, 10, 10, 1)
+    k = jax.random.PRNGKey(0)
+    v = m.init(k, x, k)
+    z2 = jax.random.normal(jax.random.PRNGKey(7), (3, cfg.z2_size))
+    fast = m.apply(v, z2, jax.random.PRNGKey(9), method="generate_from_top")
+    ref = m.apply(v, z2, jax.random.PRNGKey(9),
+                  method="generate_from_top_naive")
+    if input_type == "binary":
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+    else:
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_q_logvar_min_default_bit_identical_and_floor_binds():
+    """cfg.q_logvar_min: -6.0 (default) must reproduce the reference
+    hardtanh(-6,2) bit-for-bit; a raised floor must bind (the measured
+    divergence mitigation, docs/DESIGN.md §4b)."""
+    x = jnp.linspace(0, 1, 2 * 784).reshape(2, 28, 28, 1)
+    k = jax.random.PRNGKey(0)
+    for model in ["vae", "hvae_2level"]:
+        base = dict(model_name=model, hidden_size=32, z1_size=6, z2_size=8)
+        ma = create_model(Config(**base))
+        mb = create_model(Config(**base, q_logvar_min=-6.0))
+        oa = ma.apply(ma.init(k, x, k), x, k)
+        ob = mb.apply(mb.init(k, x, k), x, k)
+        np.testing.assert_array_equal(np.asarray(oa.q_logvar),
+                                      np.asarray(ob.q_logvar))
+        np.testing.assert_array_equal(np.asarray(oa.x_mean),
+                                      np.asarray(ob.x_mean))
+        mc = create_model(Config(**base, q_logvar_min=-4.0))
+        oc = mc.apply(mc.init(k, x, k), x, k)
+        assert float(np.asarray(oc.q_logvar).min()) >= -4.0

@@ -1,20 +1,20 @@
-"""Demonstrate the opt-in sigma^2 floor on the known-diverging config.
+"""Mitigation arms for the known-diverging synthetic config (DESIGN §4b).
 
 docs/DESIGN.md §4b documents a bitwise-deterministic divergence of the
 objective+optimizer on synthetic data: VAE, exact exemplar prior, N=50k,
-batch 100, lr 5e-4 — sigma^2 shrinks with accelerating speed from ~epoch
-200 and training blows up to NaN around epoch ~215-216 (the trainer's
-non-finite abort then stops the run). Round-2 VERDICT weak #3: the guard
-rails contain the damage but give the user no way to FINISH such a run.
+batch 100, lr 5e-4 — training blows up to NaN around epoch ~215 (the
+trainer's non-finite abort then stops the run). Round-2 VERDICT weak #3
+asked for a knob that lets such a run FINISH.
 
-This tool runs that config twice on the real chip:
-  arm A (--prior_var_min 0):     reproduces the abort (baseline behavior);
-  arm B (--prior_var_min 0.05):  the floor caps the prior curvature at
-                                 1/0.05; the run must get PAST the epoch
-                                 where arm A died, with finite losses.
+Each arm runs the config on the real chip with one candidate knob; an arm
+"survives" if it gets past the baseline's abort epoch with finite losses
+(see ARMS below for the measured outcomes — the first two candidate knobs
+are measured INSUFFICIENT, which is itself the §4b finding: the objective
+has a GMM-style likelihood singularity on near-duplicate exemplars).
 
-Writes sigma_floor_demo.json at the repo root. Usage:
+Writes/merges sigma_floor_demo.json at the repo root. Usage:
     /opt/venv/bin/python tools/sigma_floor_demo.py [--epochs 240]
+        [--arm no_floor|floor_005|q_floor_m4|adam]
 """
 
 from __future__ import annotations
@@ -27,7 +27,8 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_arm(var_min: float, max_epochs: int):
+def run_arm(var_min: float, max_epochs: int, q_logvar_min: float = -6.0,
+            optimizer: str = "adam_norm_grad"):
     import jax
 
     from exemplar_vae_tpu.config import Config
@@ -40,7 +41,8 @@ def run_arm(var_min: float, max_epochs: int):
                  warmup=100, epochs=max_epochs,
                  early_stopping_epochs=max_epochs + 1,
                  S=8, MB=8, seed=14, compute_dtype="bfloat16",
-                 prior_var_min=var_min,
+                 prior_var_min=var_min, q_logvar_min=q_logvar_min,
+                 optimizer=optimizer,
                  snapshot_dir=tempfile.mkdtemp(prefix="sigma_demo_"))
     exp = Experiment(cfg, verbose=False)
     history = []
@@ -67,26 +69,63 @@ def run_arm(var_min: float, max_epochs: int):
             "tail": history[-8:]}
 
 
+ARMS = {
+    # arm -> (prior_var_min, q_logvar_min, optimizer)
+    "no_floor": (0.0, -6.0, "adam_norm_grad"),   # baseline: ~215 abort
+    "floor_005": (0.05, -6.0, "adam_norm_grad"), # round-2 hypothesis knob —
+                                  # MEASURED INSUFFICIENT (NaN at 217 with
+                                  # the floor binding)
+    "q_floor_m4": (0.0, -4.0, "adam_norm_grad"), # posterior-noise knob —
+                                  # ALSO INSUFFICIENT (NaN at 188; prior
+                                  # sigma^2 equilibrates lower and the same
+                                  # runaway fires): the objective itself is
+                                  # unbounded here (GMM-style likelihood
+                                  # singularity on near-duplicate exemplars)
+    "adam": (0.0, -6.0, "adam"),  # optimizer ablation — delays the abort to
+                                  # 238 (vs 215) but the same plv plunge +
+                                  # NaN signature fires: the runaway is not
+                                  # specific to AdamNormGrad's normalization
+    "combined": (0.05, -4.0, "adam_norm_grad"),  # both floors together —
+                                  # ALSO INSUFFICIENT (NaN at 223): blocking
+                                  # the sigma^2 direction reroutes the
+                                  # instability through the encoder-mean
+                                  # runaway. Full conclusion in DESIGN §4b:
+                                  # every knob shifts the onset, none
+                                  # prevents it; containment is the cure.
+}
+
+
 def main():
     max_epochs = 240
     if "--epochs" in sys.argv:
         max_epochs = int(sys.argv[sys.argv.index("--epochs") + 1])
-    out = {}
-    print("arm A: no floor (expect divergence ~epoch 215)", flush=True)
-    out["no_floor"] = run_arm(0.0, max_epochs)
-    print("arm B: prior_var_min=0.05 (expect completion)", flush=True)
-    out["floor_005"] = run_arm(0.05, max_epochs)
-    a, b = out["no_floor"], out["floor_005"]
-    out["demonstrated"] = bool(
-        a["aborted_epoch"] is not None
-        and b["aborted_epoch"] is None
-        and b["epochs_completed"] > a["aborted_epoch"])
+    only = (sys.argv[sys.argv.index("--arm") + 1]
+            if "--arm" in sys.argv else None)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "sigma_floor_demo.json")
+    out = {}
+    if only and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)   # merge a single arm into prior results
+    for arm, (vm, qm, opt) in ARMS.items():
+        if only and arm != only:
+            continue
+        print(f"arm {arm}: prior_var_min={vm} q_logvar_min={qm} opt={opt}",
+              flush=True)
+        out[arm] = run_arm(vm, max_epochs, q_logvar_min=qm, optimizer=opt)
+    a = out.get("no_floor")
+    survivors = [arm for arm in ARMS
+                 if arm != "no_floor" and arm in out
+                 and out[arm]["aborted_epoch"] is None
+                 and a and a["aborted_epoch"] is not None
+                 and out[arm]["epochs_completed"] > a["aborted_epoch"]]
+    out["demonstrated"] = bool(survivors)
+    out["surviving_arms"] = survivors
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({k: v for k, v in out.items() if k != "no_floor"}
-                     | {"no_floor_aborted": a["aborted_epoch"]}, indent=2))
+    print(json.dumps({arm: out[arm]["aborted_epoch"]
+                      for arm in ARMS if arm in out}
+                     | {"demonstrated": out["demonstrated"]}, indent=2))
     print(f"wrote {path}")
 
 
