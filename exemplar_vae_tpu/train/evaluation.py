@@ -131,8 +131,13 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
     # replays it).
     model_kind = cfg.model_name.lower()
     fast_single_level = model_kind == "vae" and not force_generic
-    fast_two_level = (model_kind in ("hvae_2level", "convhvae_2level")
+    fast_two_level = (model_kind in ("hvae_2level", "convhvae_2level",
+                                     "pixelhvae_2level")
                       and not force_generic)
+    # PixelHVAE's likelihood is teacher-forced on x, so its decode takes
+    # (x, z1, z2); the x-side encoder hoists out of the S-loop the same as
+    # HVAE, only the decode call differs.
+    decode_needs_x = model_kind == "pixelhvae_2level"
 
     @functools.partial(jax.jit, static_argnames=("rounds", "r"))
     def chunk_nll(params, x_chunk_raw, key, bank, rounds: int, r: int):
@@ -179,8 +184,12 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
                                                  method="p_z1")
                 extra_kl = (log_normal_diag(z1, q1_mean, q1_logvar)
                             - log_normal_diag(z1, p1_mean, p1_logvar))
-                x_mean, x_logvar = model.apply({"params": params}, z1, z2,
-                                               method="decode")
+                if decode_needs_x:
+                    x_mean, x_logvar = model.apply(
+                        {"params": params}, x_rep, z1, z2, method="decode")
+                else:
+                    x_mean, x_logvar = model.apply({"params": params}, z1, z2,
+                                                   method="decode")
                 re = reconstruction_log_lik(x_rep, x_mean, x_logvar,
                                             cfg.input_type)
                 log_q = log_normal_diag(z2, mu_rep, lv_rep)

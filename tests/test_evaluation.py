@@ -50,7 +50,8 @@ def test_iwae_single_sample_equals_elbo_sample(setup):
 
 
 @pytest.mark.parametrize("model_name", ["vae", "hvae_2level",
-                                        "convhvae_2level"])
+                                        "convhvae_2level",
+                                        "pixelhvae_2level"])
 @pytest.mark.parametrize("prior", ["standard", "exemplar_prior"])
 def test_fast_iwae_path_matches_generic(setup, prior, model_name):
     """Encode-once fast paths == generic per-round re-encode path: the
