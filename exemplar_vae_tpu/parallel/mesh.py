@@ -37,12 +37,16 @@ def maybe_init_distributed() -> bool:
     and `Experiment` runs multi-process too: host data goes onto the
     global mesh via global_put, every process executes the same SPMD
     program in lockstep, and process 0 owns the filesystem.
-    tests/test_multiprocess.py exercises a real 2-process cluster — both a
-    raw cross-process sharded train step AND a full tiny Experiment epoch,
-    asserted equal to the single-process run. Known limits (documented,
-    not silent): checkpoint save/restore assumes a shared filesystem (npz,
-    rank-0 write) and the orbax multi-host sharded-save path is not wired
-    up. Returns True iff initialize() was called. Idempotent.
+    tests/test_multiprocess.py exercises a real 2-process cluster — a raw
+    cross-process sharded train step, a full tiny Experiment epoch, AND a
+    checkpoint save/restore cycle (both backends; the cross-process-sharded
+    kNN cache is gathered collectively, rank 0 writes, all ranks barrier —
+    train/checkpoints.py::save_checkpoint), each asserted equal to the
+    single-process run. Known limit (documented, not silent): checkpoints
+    assume a shared filesystem and gather-to-host writes — right for this
+    framework's ≤tens-of-MB state; per-host sharded orbax writes are
+    deliberately not used. Returns True iff initialize() was called.
+    Idempotent.
     """
     global _DISTRIBUTED_INITIALIZED
     import os

@@ -34,8 +34,25 @@ def _flatten_with_keys(tree):
     return [(jax.tree_util.keystr(path), leaf) for path, leaf in kls]
 
 
+def _to_host(x):
+    """Host numpy copy of a (possibly cross-process sharded) leaf.
+
+    Replicated or single-process leaves fetch directly. A leaf sharded
+    ACROSS processes (the kNN cache bank on a pod spans every host's
+    devices) cannot be device_get: its remote shards are not addressable.
+    It is gathered collectively instead — which is why every process must
+    enter save_checkpoint (the gather is an allgather program all ranks
+    execute), even though only process 0 writes files.
+    """
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def _save_tree(path, tree):
-    named = _flatten_with_keys(jax.device_get(tree))
+    named = _flatten_with_keys(jax.tree.map(_to_host, tree))
     tmp = path + ".tmp.npz"
     np.savez(tmp, **{k: np.asarray(v) for k, v in named})
     os.replace(tmp, path)  # atomic: a crash mid-save never corrupts the old file
@@ -71,10 +88,23 @@ def _orbax_checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def _save_orbax(d, tree_dict):
-    """Orbax backend (cfg.checkpoint_backend='orbax'): async-capable,
-    multi-host-coordinated saves — the right backend once a run spans
-    processes (mesh.maybe_init_distributed).
+def _barrier(name):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def _save_orbax(d, tree_dict, is_main: bool = True):
+    """Orbax backend (cfg.checkpoint_backend='orbax'): async-capable saves —
+    the right backend once a run spans processes
+    (mesh.maybe_init_distributed).
+
+    Multi-process: orbax coordinates its OWN cross-process syncs inside
+    save(), so every rank must enter this function (a rank-0-only call
+    deadlocks the others — caught by tests/test_multiprocess.py); the data
+    here is already host-gathered numpy, so only the primary host actually
+    writes array bytes. The directory swap is rank-0-only, fenced by
+    barriers.
 
     Durability matches the npz path's tmp+os.replace: the new checkpoint is
     fully written to a sibling `orbax.tmp` dir first, then swapped in with
@@ -86,17 +116,22 @@ def _save_orbax(d, tree_dict):
     import shutil
     final = os.path.abspath(os.path.join(d, "orbax"))
     tmp, old = final + ".tmp", final + ".old"
-    for p in (tmp, old):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    if is_main:
+        for p in (tmp, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    _barrier("orbax_pre_save")  # tmp cleared before any rank starts writing
     ckptr = _orbax_checkpointer()
     ckptr.save(tmp, tree_dict)
     ckptr.wait_until_finished()  # tmp is now a complete checkpoint
-    if os.path.exists(final):
-        os.replace(final, old)
-    os.replace(tmp, final)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _barrier("orbax_post_save")
+    if is_main:
+        if os.path.exists(final):
+            os.replace(final, old)
+        os.replace(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    _barrier("orbax_committed")
 
 
 def _restore_orbax(d, template_dict):
@@ -111,31 +146,47 @@ def _restore_orbax(d, template_dict):
 
 
 def save_checkpoint(exp, tag: str = "last"):
-    d = os.path.join(exp.exp_dir, f"ckpt_{tag}")
-    os.makedirs(d, exist_ok=True)
-    cache = (np.asarray(jax.device_get(exp.bank.cache_means))
+    """Persist the full training state.
+
+    Multi-process contract: EVERY process must call this (the sharded kNN
+    cache gather in _to_host is a collective allgather); params/optimizer
+    state are replicated so their fetch is process-local. Only process 0
+    touches the filesystem; the trailing barrier keeps other ranks from
+    racing ahead of a half-written checkpoint (e.g. restoring it in the
+    same run). Exercised for real by tests/test_multiprocess.py's
+    2-process checkpoint cycle (both backends, sharded cache round-trip).
+    """
+    is_main = getattr(exp, "_is_main", jax.process_index() == 0)
+    backend = getattr(exp.cfg, "checkpoint_backend", "npz")
+    # collective section — all ranks participate in the cache gather
+    cache = (_to_host(exp.bank.cache_means)
              if exp.bank is not None and exp.bank.cache_means is not None
              else None)
-    if getattr(exp.cfg, "checkpoint_backend", "npz") == "orbax":
-        tree = {"state": jax.device_get(exp.state),
-                "best_params": jax.device_get(exp.best_params)}
+    d = os.path.join(exp.exp_dir, f"ckpt_{tag}")
+    if is_main:
+        os.makedirs(d, exist_ok=True)
+    if backend == "orbax":
+        # all ranks enter: orbax syncs processes inside save()
+        tree = {"state": jax.tree.map(_to_host, exp.state),
+                "best_params": jax.tree.map(_to_host, exp.best_params)}
         if cache is not None:
             tree["cache"] = cache
-        _save_orbax(d, tree)
-    else:
+        _save_orbax(d, tree, is_main=is_main)
+    elif is_main:
         _save_tree(os.path.join(d, "state.npz"), exp.state)
         _save_tree(os.path.join(d, "best_params.npz"), exp.best_params)
         if cache is not None:
             tmp = os.path.join(d, "cache.npz.tmp.npz")
             np.savez(tmp, cache=cache)
             os.replace(tmp, os.path.join(d, "cache.npz"))
-    meta = {"epoch": exp.epoch, "best_val": exp.best_val,
-            "bad_epochs": exp.bad_epochs,
-            "backend": getattr(exp.cfg, "checkpoint_backend", "npz")}
-    tmp = os.path.join(d, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(d, "meta.json"))
+    if is_main:
+        meta = {"epoch": exp.epoch, "best_val": exp.best_val,
+                "bad_epochs": exp.bad_epochs, "backend": backend}
+        tmp = os.path.join(d, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "meta.json"))
+    _barrier(f"ckpt_save_{tag}")
 
 
 def restore_checkpoint(exp, tag: str = "last") -> bool:
@@ -150,8 +201,10 @@ def restore_checkpoint(exp, tag: str = "last") -> bool:
                     "best_params": jax.device_get(exp.best_params)}
         has_cache = exp.bank is not None and exp.bank.cache_means is not None
         if has_cache:
-            template["cache"] = np.asarray(
-                jax.device_get(exp.bank.cache_means))
+            # _to_host, not device_get: the live cache is sharded across
+            # processes on a pod (all ranks are in here, so the collective
+            # gather is well-formed)
+            template["cache"] = _to_host(exp.bank.cache_means)
         restored = _restore_orbax(d, template)
         exp.state = TrainState(*restored["state"])
         exp.best_params = restored["best_params"]

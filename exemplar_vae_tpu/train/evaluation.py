@@ -136,7 +136,10 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
                       and not force_generic)
     # PixelHVAE's likelihood is teacher-forced on x, so its decode takes
     # (x, z1, z2); the x-side encoder hoists out of the S-loop the same as
-    # HVAE, only the decode call differs.
+    # HVAE, only the decode call differs. Measured (v5e, S=256, N=10k):
+    # perf-neutral (893 vs 879 pts/s) — the per-round masked-conv decode
+    # dominates, unlike ConvHVAE where both encoder conv stacks hoist —
+    # kept for uniformity (one code path per family) rather than speed.
     decode_needs_x = model_kind == "pixelhvae_2level"
 
     @functools.partial(jax.jit, static_argnames=("rounds", "r"))

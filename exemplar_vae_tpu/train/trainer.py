@@ -355,12 +355,10 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: str = "last"):
+        # ALL ranks enter: the sharded kNN cache is gathered collectively
+        # inside; only process 0 writes (checkpoints.save_checkpoint gates
+        # on exp._is_main and barriers at the end).
         from exemplar_vae_tpu.train.checkpoints import save_checkpoint
-        if not self._is_main:
-            # npz backend: state is replicated, so rank 0's copy is the
-            # whole state; other ranks skip the write. (An orbax multi-host
-            # sharded save would need all ranks — not wired up yet.)
-            return
         save_checkpoint(self, tag)
 
     def restore_checkpoint(self, tag: str = "last") -> bool:
@@ -370,8 +368,18 @@ class Experiment:
             # re-place host-loaded leaves process-agnostically (the loaded
             # trees are plain numpy; implicit placement would fail on a
             # multi-process mesh and single-process relies on jit's
-            # implicit commit — make it explicit for both)
+            # implicit commit — make it explicit for both). The kNN cache
+            # goes back to its bank layout: sharded over 'data' on a mesh,
+            # replicated on one chip.
             repl = NamedSharding(self.mesh, P())
             self.state = jax.tree.map(lambda a: global_put(a, repl),
                                       jax.device_get(self.state))
+            self.best_params = jax.tree.map(
+                lambda a: global_put(a, repl), jax.device_get(self.best_params))
+            if self.bank is not None and self.bank.cache_means is not None:
+                from exemplar_vae_tpu.train.checkpoints import _to_host
+                shard = (NamedSharding(self.mesh, P("data")) if self.multi
+                         else repl)
+                self.bank = self.bank._replace(cache_means=global_put(
+                    _to_host(self.bank.cache_means), shard))
         return ok

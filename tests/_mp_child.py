@@ -55,6 +55,49 @@ def run_experiment(snapshot_dir):
           flush=True)
 
 
+def run_ckpt_cycle(snapshot_dir):
+    """Multi-host checkpoint round-trip (both backends) in approximate-
+    prior mode, where the kNN cache is SHARDED across the two processes —
+    the one state leaf that cannot be device_get and must be gathered
+    collectively (checkpoints._to_host). Asserts inside the child: restore
+    succeeds, the restored validate is bitwise the pre-save validate, and
+    the sharded cache round-trips exactly; prints the value for cross-rank
+    + single-process-oracle comparison by the parent."""
+    from jax.experimental import multihost_utils
+
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+
+    cfg = Config(dataset_name="synthetic_gray", model_name="vae",
+                 prior="exemplar_prior", approximate_prior=True,
+                 approximate_k=4, training_set_size=64, val_set_size=16,
+                 test_set_size=16, number_components=64, batch_size=16,
+                 test_batch_size=16, hidden_size=16, z1_size=8, z2_size=8,
+                 warmup=2, epochs=1, S=2, MB=2, use_pallas_prior=False,
+                 prior_block_n=32, exact_reencode_chunk=32,
+                 mesh_shape=(jax.device_count(),), snapshot_dir=snapshot_dir)
+    exp = Experiment(cfg, verbose=False)
+    exp.train_epoch()  # refreshes the sharded kNN cache, sets epoch=1
+    val0 = float(exp.validate()[0])
+    cache0 = np.asarray(multihost_utils.process_allgather(
+        exp.bank.cache_means, tiled=True)) if jax.process_count() > 1 \
+        else np.asarray(exp.bank.cache_means)
+    for backend, tag in (("npz", "cknpz"), ("orbax", "ckorbax")):
+        exp.cfg = exp.cfg.replace(checkpoint_backend=backend)
+        exp.save_checkpoint(tag)
+        exp2 = Experiment(cfg.replace(checkpoint_backend=backend),
+                          verbose=False)
+        assert exp2.restore_checkpoint(tag), f"restore failed: {backend}"
+        assert exp2.epoch == 1, exp2.epoch
+        cache1 = np.asarray(multihost_utils.process_allgather(
+            exp2.bank.cache_means, tiled=True)) if jax.process_count() > 1 \
+            else np.asarray(exp2.bank.cache_means)
+        np.testing.assert_array_equal(cache0, cache1)
+        val1 = float(exp2.validate()[0])
+        assert val1 == val0, (backend, val0, val1)
+    print(f"CKPTRESULT val={val0:.8f}", flush=True)
+
+
 def main():
     assert maybe_init_distributed(), "coordinator env vars not picked up"
     assert jax.process_count() == 2, jax.process_count()
@@ -87,6 +130,8 @@ def main():
 
     if os.environ.get("MP_CHILD_EXPERIMENT_DIR"):
         run_experiment(os.environ["MP_CHILD_EXPERIMENT_DIR"])
+    if os.environ.get("MP_CHILD_CKPT_DIR"):
+        run_ckpt_cycle(os.environ["MP_CHILD_CKPT_DIR"])
 
 
 if __name__ == "__main__":

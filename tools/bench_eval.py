@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--n_test", type=int, default=512)
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--model", type=str, default="vae",
-                    choices=["vae", "hvae_2level", "convhvae_2level"])
+                    choices=["vae", "hvae_2level", "convhvae_2level",
+                             "pixelhvae_2level"])
     ap.add_argument("--dataset", type=str, default=None,
                     help="synthetic | synthetic_gray | synthetic_continuous")
     ap.add_argument("--impl", type=str, default="pallas",
