@@ -245,4 +245,6 @@ def make_iwae_fn(model, cfg: Config, force_generic: bool = False):
             nlls.append(np.asarray(out))
         return float(np.mean(np.concatenate(nlls))), np.concatenate(nlls)
 
+    # the fixed-shape single-chunk kernel is the unit serve.py AOT-exports
+    calculate_likelihood.chunk_nll = chunk_nll
     return calculate_likelihood

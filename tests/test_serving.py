@@ -1,0 +1,130 @@
+"""AOT serving bundles (exemplar_vae_tpu/serve.py): export -> reload ->
+replay fidelity, with NO model code on the load path (the deserialized
+StableHLO program is what runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exemplar_vae_tpu.config import Config
+from exemplar_vae_tpu.models import create_model
+from exemplar_vae_tpu.serve import (
+    ServingBundle, export_serving_bundle, make_serving_fns)
+from exemplar_vae_tpu.train.evaluation import make_eval_bank_fn, make_iwae_fn
+from exemplar_vae_tpu.train.loss import Bank
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = Config(model_name="vae", prior="exemplar_prior", hidden_size=32,
+                 z1_size=8, S=16, MB=8, test_batch_size=8,
+                 dataset_name="synthetic", use_pallas_prior=False)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (24, 28, 28, 1))
+    x = (x > 0.5).astype(np.float32)  # eval-protocol binary data
+    v = m.init(k, x, k)
+    bank = Bank(images=jnp.asarray(x), data_idx=jnp.arange(24, dtype=jnp.int32),
+                valid=jnp.ones(24, bool), cache_means=None, n_effective=24)
+    eb = make_eval_bank_fn(m, cfg)(v["params"], bank, k)
+    return cfg, m, v["params"], x, eb
+
+
+def test_bundle_roundtrip_matches_direct_fns(trained, tmp_path):
+    """Exported+deserialized programs == the python functions they were
+    exported from, to float32 noise (the deserialized StableHLO re-optimizes
+    with different fusions, so a few ULP wiggle — observed max 2.4e-7)."""
+    cfg, m, params, x, eb = trained
+    out = str(tmp_path / "bundle")
+    export_serving_bundle(m, cfg, params, out,
+                          bank_means=eb.cache_means, data_idx=eb.data_idx,
+                          valid=eb.valid, n_effective=eb.n_effective,
+                          n_gen=5, ref_batch=4, score_chunk=4,
+                          s_total=8, r=4)
+    b = ServingBundle.load(out)
+    gen_fn, ref_fn, score_fn = make_serving_fns(
+        m, cfg, int(eb.n_effective), 5, 4, 4, rounds=2, r=4)
+
+    key = jax.random.PRNGKey(3)
+    got = np.asarray(b.generate(key))
+    want = np.asarray(gen_fn(params, eb.cache_means, key))
+    assert got.shape == (5, 28, 28, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    got = np.asarray(b.reference_generate(x[:4], key))
+    want = np.asarray(ref_fn(params, x[:4], key))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    got = np.asarray(b._fns["score_nll"].call(
+        params, x[:4], key, eb.cache_means, eb.data_idx, eb.valid))
+    want = np.asarray(score_fn(params, x[:4], key, eb.cache_means,
+                               eb.data_idx, eb.valid))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bundle_generate_matches_sampling_api(trained, tmp_path):
+    """Serving generation (cached exemplar means) == the library's
+    generate_x (on-the-fly encode) to float noise: eval preprocessing is
+    deterministic, so the cached means equal a fresh re-encode, and the
+    4-way key-split discipline is mirrored."""
+    from exemplar_vae_tpu.train import sampling
+    cfg, m, params, x, eb = trained
+    out = str(tmp_path / "bundle2")
+    export_serving_bundle(m, cfg, params, out,
+                          bank_means=eb.cache_means, data_idx=eb.data_idx,
+                          valid=eb.valid, n_effective=eb.n_effective,
+                          n_gen=6, ref_batch=4, score_chunk=4)
+    b = ServingBundle.load(out)
+    key = jax.random.PRNGKey(11)
+    got = np.asarray(b.generate(key))
+    want = np.asarray(sampling.generate_x(m, params, cfg, 6, key,
+                                          bank_images_raw=x, n_valid=24))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    ref = np.asarray(b.reference_generate(x[:4], key))
+    want_ref = np.asarray(sampling.reference_based_generation_x(
+        m, params, cfg, key, x[:4]))
+    np.testing.assert_allclose(ref, want_ref, atol=1e-6)
+
+
+def test_bundle_score_matches_library_iwae(trained, tmp_path):
+    """score_nll over chunks (incl. a padded tail) == make_iwae_fn at the
+    same S/r/chunk: same per-chunk key fold-in, padded rows discarded."""
+    cfg, m, params, x, eb = trained
+    out = str(tmp_path / "bundle3")
+    export_serving_bundle(m, cfg, params, out,
+                          bank_means=eb.cache_means, data_idx=eb.data_idx,
+                          valid=eb.valid, n_effective=eb.n_effective,
+                          n_gen=4, ref_batch=4, score_chunk=8,
+                          s_total=16, r=8)
+    b = ServingBundle.load(out)
+    key = jax.random.PRNGKey(5)
+    mean_b, per_b = b.score_nll(x[:20], key)  # 20 = 2 full chunks + tail 4
+    iwae = make_iwae_fn(m, cfg)
+    mean_l, per_l = iwae(params, x[:20], key, eb, s_total=16, chunk=8, r=8)
+    # padded tail rows change nothing for the true rows (row-independent)
+    np.testing.assert_allclose(per_b, per_l, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(mean_b)
+
+
+def test_bundle_no_model_code_needed(trained, tmp_path):
+    """The loader reconstructs params purely from the npz path keys —
+    perturbing a weight changes the replayed output (weights are a live
+    input, not baked constants)."""
+    cfg, m, params, x, eb = trained
+    out = str(tmp_path / "bundle4")
+    export_serving_bundle(m, cfg, params, out,
+                          bank_means=eb.cache_means, data_idx=eb.data_idx,
+                          valid=eb.valid, n_effective=eb.n_effective,
+                          n_gen=4, ref_batch=4, score_chunk=4)
+    b = ServingBundle.load(out)
+    key = jax.random.PRNGKey(2)
+    base = np.asarray(b.generate(key))
+    leaf_path = jax.tree_util.tree_leaves_with_path(b.params)[0][0]
+    node = b.params
+    for k in leaf_path[:-1]:
+        node = node[k.key]
+    node[leaf_path[-1].key] = node[leaf_path[-1].key] + 0.05
+    changed = np.asarray(b.generate(key))
+    assert not np.array_equal(base, changed)
