@@ -108,6 +108,28 @@ def test_bundle_score_matches_library_iwae(trained, tmp_path):
     assert np.isfinite(mean_b)
 
 
+def test_multi_platform_export_replays_on_cpu(trained, tmp_path):
+    """platforms=('cpu','tpu') lowers one artifact for both targets (works
+    from a CPU host — no TPU needed to EXPORT) and replays on the CPU
+    backend. Requires the scan prior impl (the Pallas kernel only lowers
+    for TPU — serve.py module docstring)."""
+    cfg, m, params, x, eb = trained
+    assert not cfg.use_pallas_prior
+    out = str(tmp_path / "bundle_mp")
+    man = export_serving_bundle(m, cfg, params, out,
+                                bank_means=eb.cache_means,
+                                data_idx=eb.data_idx, valid=eb.valid,
+                                n_effective=eb.n_effective,
+                                n_gen=3, ref_batch=4, score_chunk=4,
+                                s_total=4, r=2, platforms=("cpu", "tpu"))
+    assert man["platforms"] == ["cpu", "tpu"]
+    b = ServingBundle.load(out)
+    imgs = np.asarray(b.generate(jax.random.PRNGKey(1)))
+    assert imgs.shape == (3, 28, 28, 1) and np.isfinite(imgs).all()
+    mean, per = b.score_nll(x[:6], jax.random.PRNGKey(2))
+    assert np.isfinite(per).all()
+
+
 def test_bundle_no_model_code_needed(trained, tmp_path):
     """The loader reconstructs params purely from the npz path keys —
     perturbing a weight changes the replayed output (weights are a live
