@@ -56,7 +56,7 @@ def test_bundle_roundtrip_matches_direct_fns(trained, tmp_path):
     want = np.asarray(ref_fn(params, x[:4], key))
     np.testing.assert_allclose(got, want, atol=1e-6)
 
-    got = np.asarray(b._fns["score_nll"].call(
+    got = np.asarray(b._fns["score_nll"](
         params, x[:4], key, eb.cache_means, eb.data_idx, eb.valid))
     want = np.asarray(score_fn(params, x[:4], key, eb.cache_means,
                                eb.data_idx, eb.valid))
