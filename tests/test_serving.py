@@ -130,6 +130,37 @@ def test_multi_platform_export_replays_on_cpu(trained, tmp_path):
     assert np.isfinite(per).all()
 
 
+@pytest.mark.parametrize("model_name", ["hvae_2level", "convhvae_2level",
+                                        "pixelhvae_2level"])
+def test_bundle_exports_every_family(model_name, tmp_path):
+    """Every model family exports and replays (generate incl. PixelHVAE's
+    autoregressive raster scan, conditioned generate, IWAE score)."""
+    cfg = Config(model_name=model_name, prior="exemplar_prior",
+                 hidden_size=16, z1_size=4, z2_size=4, S=4, MB=2,
+                 dataset_name="synthetic", use_pallas_prior=False,
+                 pixelcnn_features=8, pixelcnn_layers=2)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x = (jax.random.uniform(k, (8, 28, 28, 1)) > 0.5).astype(np.float32)
+    v = m.init(k, x, k)
+    bank = Bank(images=jnp.asarray(x), data_idx=jnp.arange(8, dtype=jnp.int32),
+                valid=jnp.ones(8, bool), cache_means=None, n_effective=8)
+    eb = make_eval_bank_fn(m, cfg)(v["params"], bank, k)
+    out = str(tmp_path / model_name)
+    export_serving_bundle(m, cfg, v["params"], out,
+                          bank_means=eb.cache_means, data_idx=eb.data_idx,
+                          valid=eb.valid, n_effective=8,
+                          n_gen=2, ref_batch=2, score_chunk=2,
+                          s_total=4, r=2)
+    b = ServingBundle.load(out)
+    imgs = np.asarray(b.generate(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1) and np.isfinite(imgs).all()
+    ref = np.asarray(b.reference_generate(x[:2], jax.random.PRNGKey(2)))
+    assert np.isfinite(ref).all()
+    _, per = b.score_nll(x[:2], jax.random.PRNGKey(3))
+    assert np.isfinite(per).all()
+
+
 def test_bundle_no_model_code_needed(trained, tmp_path):
     """The loader reconstructs params purely from the npz path keys —
     perturbing a weight changes the replayed output (weights are a live
