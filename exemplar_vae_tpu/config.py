@@ -135,6 +135,23 @@ class Config:
     debug_nans: bool = False             # NaN sanitizer (jax_debug_nans)
     profile_epoch: int = 0               # capture a jax.profiler trace of this epoch
 
+    def __post_init__(self):
+        # enum-ish fields used via `== value` checks downstream: a typo'd
+        # programmatic Config (e.g. approximate_support='batch-union')
+        # would otherwise silently run the default branch
+        _choices = {
+            "approximate_support": ("per_row", "batch_union"),
+            "prior": ("standard", "vampprior", "exemplar_prior"),
+            "input_type": ("binary", "gray", "continuous"),
+            "checkpoint_backend": ("npz", "orbax"),
+            "compute_dtype": ("float32", "bfloat16"),
+        }
+        for field, allowed in _choices.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"Config.{field}={v!r}; expected one of "
+                                 f"{allowed}")
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -257,6 +274,10 @@ def reference_arg_parser():
     p.add_argument("--conv_dec_spec", type=str, default=d.conv_dec_spec,
                    help="ConvHVAE decoder stack, 't'=transpose conv")
     p.add_argument("--conv_proj_channels", type=int, default=d.conv_proj_channels)
+    p.add_argument("--pixelcnn_features", type=int, default=d.pixelcnn_features,
+                   help="PixelHVAE masked-conv stack width")
+    p.add_argument("--pixelcnn_layers", type=int, default=d.pixelcnn_layers,
+                   help="PixelHVAE masked-conv stack depth (mask-B layers)")
     # TPU-native extras
     p.add_argument("--mesh", type=str, default=None,
                    help="comma-separated mesh shape over ('data',), e.g. '8'")
@@ -296,6 +317,8 @@ def config_from_args(ns) -> Config:
         conv_enc_spec=ns.conv_enc_spec,
         conv_dec_spec=ns.conv_dec_spec,
         conv_proj_channels=ns.conv_proj_channels,
+        pixelcnn_features=ns.pixelcnn_features,
+        pixelcnn_layers=ns.pixelcnn_layers,
         batch_size=ns.batch_size,
         test_batch_size=ns.test_batch_size,
         lr=ns.lr,

@@ -47,12 +47,18 @@ def _build_stack(spec: str, dt):
     return layers
 
 
-def _total_stride(spec: str, kinds=("c", "t")) -> int:
-    out = 1
+def _net_scale(spec: str):
+    """Net spatial scale of a stack as a Fraction: a stride-s conv divides
+    H, W by s, a stride-s transpose conv multiplies by s (SAME padding).
+    Counting BOTH layer kinds signed-ly (rather than only 'c' in encoders /
+    only 't' in decoders) makes the setup assertion catch mixed specs like
+    a strided 'c' layer inside a decoder, which would otherwise pass the
+    check and fail later as a shape error in the loss."""
+    from fractions import Fraction
+    scale = Fraction(1)
     for kind, _, _, s in parse_conv_spec(spec):
-        if kind in kinds:
-            out *= s
-    return out
+        scale = scale * s if kind == "t" else Fraction(scale, s)
+    return scale
 
 
 class ConvHVAE(nn.Module, PriorMixin):
@@ -63,11 +69,15 @@ class ConvHVAE(nn.Module, PriorMixin):
         h = cfg.hidden_size
         dt = compute_dtype(cfg)
         c_in, ih, iw = cfg.input_size
-        down = _total_stride(cfg.conv_enc_spec)
-        up = _total_stride(cfg.conv_dec_spec, kinds=("t",))
-        assert down == up, (
-            f"encoder downsampling x{down} != decoder upsampling x{up} "
-            f"(conv_enc_spec={cfg.conv_enc_spec!r}, "
+        enc_scale = _net_scale(cfg.conv_enc_spec)
+        dec_scale = _net_scale(cfg.conv_dec_spec)
+        assert enc_scale.numerator == 1, (
+            f"encoder spec must be net-downsampling, got scale {enc_scale} "
+            f"(conv_enc_spec={cfg.conv_enc_spec!r})")
+        down = enc_scale.denominator
+        assert dec_scale == down, (
+            f"encoder downsampling x{down} != decoder net upsampling "
+            f"x{dec_scale} (conv_enc_spec={cfg.conv_enc_spec!r}, "
             f"conv_dec_spec={cfg.conv_dec_spec!r})")
         assert ih % down == 0 and iw % down == 0, (
             f"ConvHVAE needs H, W divisible by {down}")

@@ -18,7 +18,6 @@ from exemplar_vae_tpu.models.layers import (
     NonLinear,
     compute_dtype,
     p_logvar_activation,
-    q_logvar_activation,
     q_logvar_activation_for,
 )
 

@@ -150,7 +150,10 @@ def make_sharded_approx_prior(model, cfg: Config, mesh: Mesh):
         if cfg.approximate_support == "batch_union":
             # rows/means are replicated at this level, so the union path is
             # identical to the single-device one (train/loss.py): all B*K
-            # entries with duplicates masked (Config.approximate_support)
+            # entries with duplicates masked (Config.approximate_support).
+            # impl="scan" is deliberate, matching train/loss.py: the union
+            # support is only B*K columns, below the Pallas win regime
+            # (DESIGN.md §8b)
             from exemplar_vae_tpu.ops.exemplar_prior import exemplar_log_prob
             from exemplar_vae_tpu.ops.knn import dedup_valid_mask
             flat_rows = rows.reshape(-1)

@@ -48,16 +48,12 @@ from exemplar_vae_tpu.config import Config
 from exemplar_vae_tpu.models import create_model
 from exemplar_vae_tpu.models.base import clamped_prior_log_var
 from exemplar_vae_tpu.ops.preprocess import preprocess_batch
-from exemplar_vae_tpu.train.loss import Bank, bank_log_denom, eval_log_p_top
-
-
-def _top_dim(cfg: Config) -> int:
-    return cfg.z1_size if cfg.model_name.lower() == "vae" else cfg.z2_size
+from exemplar_vae_tpu.train.loss import Bank
+from exemplar_vae_tpu.train.sampling import _top_dim
 
 
 def make_serving_fns(model, cfg: Config, n_effective: int,
-                     n_gen: int, ref_batch: int,
-                     score_chunk: int, rounds: int, r: int):
+                     n_gen: int, rounds: int, r: int):
     """Pure fixed-shape functions to export. All take the params dict as
     their first argument; exemplar-bank arrays ride alongside so the bank
     can be refreshed without re-exporting."""
@@ -133,7 +129,7 @@ def export_serving_bundle(model, cfg: Config, params, out_dir: str, *,
     r = min(r, s_total)
     rounds = max(-(-s_total // r), 1)
     gen_fn, ref_fn, score_fn = make_serving_fns(
-        model, cfg, n_effective, n_gen, ref_batch, score_chunk, rounds, r)
+        model, cfg, n_effective, n_gen, rounds, r)
 
     params = jax.device_get(params)
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)

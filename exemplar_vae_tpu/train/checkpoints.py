@@ -117,6 +117,12 @@ def _save_orbax(d, tree_dict, is_main: bool = True):
     final = os.path.abspath(os.path.join(d, "orbax"))
     tmp, old = final + ".tmp", final + ".old"
     if is_main:
+        if not os.path.exists(final) and os.path.exists(old):
+            # a previous run crashed between the two commit renames: `old`
+            # holds the only complete checkpoint — promote it back to
+            # primary BEFORE any cleanup, so a crash during THIS save still
+            # leaves a restorable checkpoint
+            os.replace(old, final)
         for p in (tmp, old):
             if os.path.exists(p):
                 shutil.rmtree(p)

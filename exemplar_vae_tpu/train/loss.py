@@ -111,6 +111,12 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
             # mixture runs over all B*K selected exemplars, duplicates
             # masked so each unique exemplar counts once (Config docstring)
             flat_idx = idx.reshape(-1)
+            # impl is deliberately "scan", not cfg.use_pallas_prior: the
+            # union support is only B*K columns (~1e3), far below the
+            # shape regime where the Pallas kernel wins (it pays off when
+            # the (B, N) logits tile would spill — DESIGN.md §8b measured
+            # crossover ~32k rows x 50k cols); at this size kernel dispatch
+            # would only add overhead
             return model.apply(
                 variables, out.z_top, bank_means=means, data_idx=loo_idx,
                 exemplar_idx=jnp.take(bank.data_idx, flat_idx),

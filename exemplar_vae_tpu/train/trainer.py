@@ -304,12 +304,14 @@ class Experiment:
         results = {"test_nll": float(test_nll), "best_val_loss": float(val_loss),
                    "epochs_trained": self.epoch}
         if self._is_main:
-            with open(os.path.join(self.exp_dir, "results.json"), "w") as f:
-                json.dump(results, f, indent=2)
             try:
                 self.save_artifacts(params, eval_bank, fkey)
             except Exception as e:  # plotting must never kill a finished run
                 results["artifact_error"] = str(e)
+            # write results.json AFTER artifacts so a plotting failure is
+            # recorded on disk, not just in the returned dict
+            with open(os.path.join(self.exp_dir, "results.json"), "w") as f:
+                json.dump(results, f, indent=2)
         self._log({"final_test_nll": float(test_nll)})
         return results
 

@@ -142,6 +142,20 @@ def test_experiment_name_varies_with_flags():
     assert a != b
 
 
+def test_config_rejects_enum_typos():
+    """Programmatic Configs validate enum-ish fields at construction: a
+    typo like approximate_support='batch-union' used to silently run the
+    per_row branch (the A/B would have compared per_row against itself)."""
+    import pytest as _pytest
+    for field, bad in [("approximate_support", "batch-union"),
+                       ("prior", "exemplar"),
+                       ("input_type", "grey"),
+                       ("checkpoint_backend", "orbax2"),
+                       ("compute_dtype", "float16")]:
+        with _pytest.raises(ValueError, match=field):
+            Config(**{field: bad})
+
+
 def test_sampling_apis(tmp_path):
     from exemplar_vae_tpu.train import sampling
     from exemplar_vae_tpu.models import create_model

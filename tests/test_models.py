@@ -218,6 +218,25 @@ def test_parse_conv_spec_rejects_garbage():
         parse_conv_spec("32x7s1")
 
 
+def test_conv_spec_mixed_kinds_counted_signed():
+    """A strided plain-conv layer inside a decoder DOWNSAMPLES; the
+    stride bookkeeping must count it against the transpose layers so the
+    mismatch fails at setup, not as a shape error deep in the loss."""
+    import pytest as _pytest
+    # t-up x4 but the middle stride-2 'c' halves it back: net x2 != enc x2?
+    # enc: x2 down; dec: t2 * c/2 * t2 = net x2 -> OK case
+    cfg, m, x, v = _mk(
+        "convhvae_2level", "standard",
+        conv_enc_spec="8k3s2", conv_dec_spec="t8k3s2,8k3s2,t8k3s2",
+        conv_proj_channels=8)
+    out = m.apply(v, x, jax.random.PRNGKey(1))
+    assert out.x_mean.shape == (4, 28, 28, 1)
+    # net dec scale x1 (t2 then c/2) vs enc x2 down -> must fail loudly
+    with _pytest.raises(AssertionError, match="net upsampling"):
+        _mk("convhvae_2level", "standard",
+            conv_enc_spec="8k3s2", conv_dec_spec="t8k3s2,8k3s2")
+
+
 @pytest.mark.parametrize("input_type", ["binary", "gray"])
 def test_pixelhvae_cropped_sampler_matches_naive(input_type):
     """generate_from_top decodes a receptive-field crop per pixel; it must

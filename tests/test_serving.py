@@ -44,7 +44,7 @@ def test_bundle_roundtrip_matches_direct_fns(trained, tmp_path):
                           s_total=8, r=4)
     b = ServingBundle.load(out)
     gen_fn, ref_fn, score_fn = make_serving_fns(
-        m, cfg, int(eb.n_effective), 5, 4, 4, rounds=2, r=4)
+        m, cfg, int(eb.n_effective), 5, rounds=2, r=4)
 
     key = jax.random.PRNGKey(3)
     got = np.asarray(b.generate(key))

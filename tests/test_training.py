@@ -198,7 +198,6 @@ def test_orbax_save_is_atomic_and_crash_recoverable(tmp_path):
     swaps with two renames; a crash in the instant between them leaves a
     complete copy at orbax.old which restore falls back to."""
     import os
-    import shutil
 
     cfg = _base(tmp_path, epochs=2, checkpoint_backend="orbax")
     exp = Experiment(cfg, verbose=False)
@@ -218,8 +217,15 @@ def test_orbax_save_is_atomic_and_crash_recoverable(tmp_path):
     assert exp2.restore_checkpoint()
     assert exp2.epoch == 1 and exp2.best_val == 42.0
 
-    # a second save over the recovered layout also commits cleanly
-    shutil.rmtree(final + ".old")
+    # a second save over the crashed layout (final missing, .old holding
+    # the only complete checkpoint) must FIRST promote .old back to final,
+    # so a checkpoint remains restorable at every instant of that save —
+    # this was the round-3 fix: the old pre-clean rmtree'd .old before the
+    # replacement was durable
     exp2.save_checkpoint()
     assert os.path.exists(final)
     assert not os.path.exists(final + ".old")
+    assert not os.path.exists(final + ".tmp")
+    exp3 = Experiment(cfg, verbose=False)
+    assert exp3.restore_checkpoint()
+    assert exp3.epoch == 1 and exp3.best_val == 42.0

@@ -66,7 +66,7 @@ def main():
                           score_chunk=ns.score_chunk, s_total=ns.S, r=r)
     b = ServingBundle.load(out)
     gen_fn, _, score_fn = make_serving_fns(
-        m, cfg, ns.n, ns.n_gen, 64, ns.score_chunk, rounds, r)
+        m, cfg, ns.n, ns.n_gen, rounds, r)
     gen_jit = jax.jit(gen_fn)
     score_jit = jax.jit(score_fn)
     params = v["params"]
