@@ -151,6 +151,11 @@ class Config:
             if v not in allowed:
                 raise ValueError(f"Config.{field}={v!r}; expected one of "
                                  f"{allowed}")
+        if self.prior_block_n <= 0:
+            raise ValueError(
+                f"Config.prior_block_n={self.prior_block_n}; must be "
+                f"positive (the exemplar-axis tile of the blockwise prior; "
+                f"multiples of 128 required for the TPU Pallas kernel)")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -254,7 +254,12 @@ def exemplar_log_prob(
 
 
 def lse_combine(m1, s1, m2, s2):
-    """Combine two online-LSE partial states (running max m, scaled sum s)."""
+    """Combine two online-LSE partial states (running max m, scaled sum s).
+
+    Reference implementation of the combine, pinned by tests; the sharded
+    prior performs the same merge collectively across all shards at once
+    (pmax/psum in parallel/sharded_prior.py::_local — see the comment
+    there for the stop_gradient subtlety)."""
     m = jnp.maximum(m1, m2)
     s = s1 * jnp.exp(m1 - m) + s2 * jnp.exp(m2 - m)
     return m, s

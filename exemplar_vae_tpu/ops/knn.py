@@ -29,8 +29,15 @@ def pairwise_sq_dist(q, bank):
     return jnp.maximum(q_sq + b_sq - 2.0 * cross, 0.0)
 
 
-def knn_indices(q_means, cache_means, k: int, *, block: int = 524_288):
+def knn_indices(q_means, cache_means, k: int, *, valid=None,
+                block: int = 524_288):
     """Top-k nearest cache rows per query. Returns (B, k) int32 indices.
+
+    ``valid``: optional (N,) bool mask — False rows (mesh padding of a
+    bank whose size doesn't divide the device count) are excluded by
+    setting their distance to +inf, so padding latents can never be
+    selected as neighbors (the sharded path, make_sharded_knn_select,
+    guards the same way).
 
     A single ``lax.top_k`` over the whole cache axis is the fast path:
     measured on v5e it beats the two-stage blocked reduction 12x at
@@ -47,6 +54,8 @@ def knn_indices(q_means, cache_means, k: int, *, block: int = 524_288):
     caches beyond 2*block rows, which remain unmeasured.
     """
     d = pairwise_sq_dist(q_means, jax.lax.stop_gradient(cache_means))
+    if valid is not None:
+        d = jnp.where(valid[None, :], d, jnp.inf)
     b, n = d.shape
     if n <= max(2 * block, 2 * k):
         _, idx = jax.lax.top_k(-d, min(k, n))

@@ -55,10 +55,14 @@ def _lse_kernel(z_ref, mu_ref, lv_ref, didx_ref, eidx_ref, out_ref,
     log_var = lv_ref[0, 0]
     z = z_ref[:]                                   # (TB, Dp) fp32 or bf16
     mu = mu_ref[:]                                 # (TN, Dp) fp32 or bf16
-    # bf16 inputs ride the MXU natively; accumulation is always fp32
+    # bf16 inputs ride the MXU natively; accumulation is always fp32.
+    # precision is pinned to DEFAULT: inheriting an ambient
+    # jax.default_matmul_precision('float32') context makes Mosaic reject
+    # the bf16 matmul ('Bad lhs type' on contract_precision<fp32>)
     cross = jax.lax.dot_general(
         z, mu, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (TB, TN)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)       # (TB, TN)
     z32 = z.astype(jnp.float32)
     mu32 = mu.astype(jnp.float32)
     z_sq = jnp.sum(z32 * z32, axis=-1, keepdims=True)  # (TB, 1)
@@ -99,6 +103,8 @@ def pairwise_lse_pallas(z, means, log_var, data_idx, ex_idx, valid,
     eval only — parity runs keep fp32 inputs)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if block_n <= 0:
+        raise ValueError(f"block_n must be positive, got {block_n}")
     b, d = z.shape
     n = means.shape[0]
     true_d = d
@@ -111,6 +117,11 @@ def pairwise_lse_pallas(z, means, log_var, data_idx, ex_idx, valid,
     tb = min(block_b, bp)
     bp = _round_up(bp, tb)
     tn = min(block_n, _round_up(n, 128))
+    if not interpret and tn % 128:
+        raise ValueError(
+            f"block_n={block_n} gives an exemplar-axis tile of {tn}, which "
+            f"TPU Mosaic lowering requires to be a multiple of 128 (the "
+            f"lane width); use a multiple of 128 (Config.prior_block_n)")
     np_ = _round_up(max(n, tn), tn)
 
     z_p = jnp.pad(z.astype(in_dtype), ((0, bp - b), (0, dp - d)))

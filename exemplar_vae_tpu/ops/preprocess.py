@@ -23,9 +23,18 @@ import jax.numpy as jnp
 
 
 def to_float(x):
-    """uint8 [0,255] -> float32 [0,1); float input passes through."""
+    """uint8 [0,255] -> float32 [0,1]; float input passes through.
+
+    The scale is 1/255 to match the loaders' convention for real datasets
+    (binary/gray data arrives pre-divided by 255, and the one-time eval
+    binarization samples p = x/255 — data/loaders.py::binarize_eval_split).
+    A 1/256 scale here would train dynamic binarization against p = x/256
+    while evaluating against p = x/255 targets, a systematic 255/256
+    intensity skew. Continuous data does NOT go through this path: its
+    (x + u)/256 dequantization keeps the logistic-256 bin convention
+    (preprocess_batch below)."""
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) / 256.0
+        return x.astype(jnp.float32) / 255.0
     return x.astype(jnp.float32)
 
 

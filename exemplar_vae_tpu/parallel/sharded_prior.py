@@ -52,6 +52,12 @@ def make_sharded_exact_prior(model, cfg: Config, mesh: Mesh):
         log_var = clamped_prior_log_var(variables["params"], cfg)
         lse_local = _pairwise_lse(z, means, log_var, loo_idx, bank_idx,
                                   bank_valid, impl, cfg.prior_block_n)
+        # the collective form of ops/exemplar_prior.lse_combine (that
+        # helper merges TWO partial states; here the merge runs across all
+        # shards at once via pmax/psum). The stop_gradient on m is
+        # load-bearing: the max is a shift, its gradient must flow only
+        # through the exp(lse - m) term — keep the two implementations in
+        # sync if either changes
         m = jax.lax.pmax(jax.lax.stop_gradient(lse_local), axis)
         s = jax.lax.psum(jnp.exp(lse_local - m), axis)
         return m + jnp.log(s)

@@ -33,12 +33,17 @@ def make_eval_bank_fn(model, cfg: Config):
     """Encode the full exemplar bank once for evaluation (stop-gradient)."""
 
     @jax.jit
-    def build(params, bank_images_raw, bank_data_idx, bank_valid, key):
+    def build(params, bank_images_raw, key):
+        # cfg.exact_reencode_chunk is honored verbatim in BOTH branches
+        # (0 = one giant unchunked encode), matching make_cache_refresh and
+        # make_sharded_cache_refresh — the uint8 branch used to silently
+        # override 0 with 8192, making the same config value mean different
+        # things across the four bank-encode sites
         if bank_images_raw.dtype == jnp.uint8:
             from exemplar_vae_tpu.train.loss import bank_pre_fn
             means = encode_bank(
                 model, {"params": params}, bank_images_raw,
-                chunk=cfg.exact_reencode_chunk or 8192, remat=False,
+                chunk=cfg.exact_reencode_chunk, remat=False,
                 pre_fn=bank_pre_fn(cfg, train=False), pre_key=key)
             return jax.lax.stop_gradient(means)
         imgs = preprocess_batch(key, bank_images_raw,
@@ -52,7 +57,7 @@ def make_eval_bank_fn(model, cfg: Config):
     def build_bank(params, bank: Bank, key) -> Bank:
         if cfg.prior != "exemplar_prior":
             return bank
-        means = build(params, bank.images, bank.data_idx, bank.valid, key)
+        means = build(params, bank.images, key)
         return Bank(images=None, data_idx=bank.data_idx, valid=bank.valid,
                     cache_means=means, n_effective=bank.n_effective)
 

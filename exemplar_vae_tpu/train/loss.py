@@ -96,7 +96,8 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
 
     if train and cfg.approximate_prior:
         # kNN over the stale cache, fresh differentiable re-encode of K
-        idx = knn_indices(out.q_mean, bank.cache_means, cfg.approximate_k)
+        idx = knn_indices(out.q_mean, bank.cache_means, cfg.approximate_k,
+                          valid=bank.valid)
         # gather from a flat 2D view: XLA re-lays-out a big NHWC array for
         # in-loop gathers (tiling the size-3 channel dim pads it 43x), which
         # both OOMs and grinds compilation at CelebA scale

@@ -76,14 +76,15 @@ def reconstruct_x(model, params, cfg: Config, key, x_raw):
 
 
 def latent_neighbors(model, params, cfg: Config, x_query_raw, bank_images_raw,
-                     cache_means, k: int, key):
+                     cache_means, k: int, key, valid=None):
     """Latent-space kNN retrieval demo (SURVEY.md §0.4): nearest exemplars
-    of each query in encoder-mean space."""
+    of each query in encoder-mean space. ``valid`` masks mesh-padding rows
+    of the cache so padding latents never show up as "neighbors"."""
     from exemplar_vae_tpu.ops.knn import knn_indices
     variables = {"params": params}
     x = _prep(key, x_query_raw, cfg)
     q = model.apply(variables, x, method="encode_top_mean")
-    idx = knn_indices(q, cache_means, k)
+    idx = knn_indices(q, cache_means, k, valid=valid)
     return idx, bank_images_raw[idx]
 
 

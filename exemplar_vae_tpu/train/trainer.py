@@ -165,7 +165,7 @@ class Experiment:
                 reps = -(-c // seed_imgs.shape[0])
                 seed_imgs = np.tile(seed_imgs, (reps, 1, 1, 1))[:c]
             if self.splits.train_x.dtype == np.uint8:
-                seed_imgs = seed_imgs / 256.0  # same scale as ops/preprocess.to_float
+                seed_imgs = seed_imgs / 255.0  # same scale as ops/preprocess.to_float
             params = dict(self.state.params)
             params["pseudo_inputs"] = global_put(seed_imgs, repl)
             self.state = self.state._replace(params=params)
@@ -347,7 +347,7 @@ class Experiment:
                 _, imgs = sampling.latent_neighbors(
                     self.model, params, cfg, self.splits.test_x[:5],
                     self.bank.images, eval_bank.cache_means, 5,
-                    jax.random.fold_in(key, 13))
+                    jax.random.fold_in(key, 13), valid=eval_bank.valid)
                 flat = np.asarray(imgs, np.float32).reshape(
                     (-1,) + imgs.shape[2:])
                 if flat.max() > 1.5:  # uint8 bank

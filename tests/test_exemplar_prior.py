@@ -304,3 +304,26 @@ def test_prior_var_min_floor_binds_and_default_is_identity():
     # healthy value: both identical (floor does not bind above it)
     healthy = dict(collapsed, prior_log_var=jnp.float32(-1.0))
     assert float(clamped_prior_log_var(healthy, cfg_f)) == -1.0
+
+
+def test_block_n_validated():
+    """Invalid tile sizes fail with a clear ValueError, not a
+    ZeroDivisionError in _round_up or an obscure Mosaic lowering crash."""
+    import pytest as _pytest
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.ops.pallas_lse import pairwise_lse_pallas
+
+    with _pytest.raises(ValueError, match="prior_block_n"):
+        Config(prior_block_n=0)
+    z = jnp.zeros((4, 8), jnp.float32)
+    mu = jnp.zeros((16, 8), jnp.float32)
+    eidx = jnp.arange(16, dtype=jnp.int32)
+    valid = jnp.ones((16,), bool)
+    with _pytest.raises(ValueError, match="positive"):
+        pairwise_lse_pallas(z, mu, jnp.float32(0.0), None, eidx, valid,
+                            block_n=0)
+    # the %128 Mosaic constraint is enforced for real-TPU lowering only
+    # (interpret mode pads freely); assert the guard exists
+    with _pytest.raises(ValueError, match="multiple of 128"):
+        pairwise_lse_pallas(z, mu, jnp.float32(0.0), None, eidx, valid,
+                            block_n=64, interpret=False)

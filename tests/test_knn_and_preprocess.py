@@ -28,6 +28,41 @@ def test_pairwise_sq_dist_nonnegative(rng):
     assert (np.asarray(pairwise_sq_dist(q, q)) >= 0).all()
 
 
+def test_knn_indices_valid_mask_excludes_padding(rng):
+    """Mesh-padding rows of the cache (valid=False) must never be selected
+    as neighbors — even when a padding latent is the closest row."""
+    q = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    bank = jnp.asarray(rng.normal(size=(40, 8)), jnp.float32)
+    # make the last 8 rows (the "padding") exact copies of the queries:
+    # without the mask they would always win
+    bank = bank.at[32:38].set(q)
+    valid = jnp.arange(40) < 32
+    idx = np.asarray(knn_indices(q, bank, 5, valid=valid))
+    assert (idx < 32).all()
+    # and with no mask the planted rows do win (sanity of the construction)
+    idx_unmasked = np.asarray(knn_indices(q, bank, 5))
+    assert (idx_unmasked >= 32).any()
+
+
+def test_uint8_binary_scale_matches_eval_binarization():
+    """Dynamic binarization of a raw uint8 batch must sample p = x/255 —
+    the same scale binarize_eval_split uses for the fixed eval targets
+    (a /256 scale would skew train intensities 255/256 vs eval)."""
+    x = jnp.full((1, 4, 4, 1), 255, jnp.uint8)
+    keys = [jax.random.PRNGKey(i) for i in range(16)]
+    outs = [preprocess_batch(k, x, input_type="binary",
+                             dynamic_binarization=True, train=True)
+            for k in keys]
+    # p = 255/255 = 1.0 exactly: every sample must be 1 (under /256 the
+    # expected rate is 0.996 and 16 all-ones draws would be ~94% likely —
+    # so also check the float path scale directly)
+    assert all(np.asarray(o).min() == 1.0 for o in outs)
+    from exemplar_vae_tpu.ops.preprocess import to_float
+    np.testing.assert_allclose(
+        np.asarray(to_float(jnp.asarray([[51]], jnp.uint8))), 51 / 255.0,
+        rtol=1e-6)
+
+
 def test_encode_bank_chunking_equals_direct(rng):
     cfg = Config(model_name="vae", hidden_size=16, z1_size=6)
     m = create_model(cfg)
