@@ -151,6 +151,11 @@ class Config:
             if v not in allowed:
                 raise ValueError(f"Config.{field}={v!r}; expected one of "
                                  f"{allowed}")
+        if self.val_set_size <= 0:
+            raise ValueError(
+                f"Config.val_set_size={self.val_set_size}; the protocol "
+                f"needs a validation split (early stopping and best-on-val "
+                f"selection both ride it — SURVEY.md §0.4)")
         if self.prior_block_n <= 0:
             raise ValueError(
                 f"Config.prior_block_n={self.prior_block_n}; must be "

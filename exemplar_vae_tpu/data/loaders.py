@@ -163,9 +163,14 @@ def _load_omniglot(data_dir):
         return None
     from scipy.io import loadmat
     raw = loadmat(p)
-    # reference reshape convention: (n, 784) column-major per image [U]
+    # reference reshape convention [U]: chardata.mat stores (784, n) with
+    # each image's 784 pixels in COLUMN-major order (the lineage's loader
+    # re-flattens per image with order='F', i.e. transposes each 28x28) —
+    # a C-order reshape here would hand conv models transposed strokes.
+    # Session-0 checklist item: verify against the real load_omniglot.
     def conv(d):
-        return d.T.reshape(-1, 28, 28, 1).astype(np.float32)
+        imgs = d.T.reshape(-1, 28, 28).transpose(0, 2, 1)
+        return imgs[..., None].astype(np.float32)
     train = conv(raw["data"])
     test = conv(raw["testdata"])
     return train, test
@@ -203,9 +208,15 @@ def load_dataset(cfg: Config):
                    if os.path.isdir(os.path.join(dd, name)) else None))
         if got is not None:
             xtr, ytr, xte, yte = got
-            n_val = cfg.val_set_size
-            splits = (xtr[:-n_val], (ytr[:-n_val] if ytr is not None else None),
-                      xtr[-n_val:], (ytr[-n_val:] if ytr is not None else None),
+            # split by index, not negative slices: xtr[:-0] is EMPTY, so
+            # val_set_size=0 would invert the split (no train, all val)
+            cut = len(xtr) - cfg.val_set_size
+            if cut <= 0:
+                raise ValueError(
+                    f"val_set_size={cfg.val_set_size} consumes the whole "
+                    f"training set ({len(xtr)} examples)")
+            splits = (xtr[:cut], (ytr[:cut] if ytr is not None else None),
+                      xtr[cut:], (ytr[cut:] if ytr is not None else None),
                       xte, yte, "real")
     elif name == "static_mnist":
         got = _load_static_mnist(dd)
@@ -216,8 +227,12 @@ def load_dataset(cfg: Config):
         got = _load_omniglot(dd)
         if got is not None:
             tr, te = got
-            n_val = min(1345, len(tr) // 10)
-            splits = (tr[:-n_val], None, tr[-n_val:], None, te, None, "real")
+            # reference carve-out: 1345 val points [U]; floor at 1 so a
+            # tiny file never hits the -0-slice inversion, cap to keep
+            # at least one training point
+            n_val = max(1, min(1345, len(tr) // 10))
+            cut = max(1, len(tr) - n_val)
+            splits = (tr[:cut], None, tr[cut:], None, te, None, "real")
     elif name == "celeba":
         got = _load_celeba(dd)
         if got is not None:

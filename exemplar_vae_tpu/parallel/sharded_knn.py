@@ -57,11 +57,14 @@ def make_sharded_cache_refresh(model, cfg: Config, mesh: Mesh):
 
 
 def make_sharded_knn_select(cfg: Config, mesh: Mesh):
-    """(q_means repl, cache shard, bank_data_idx shard) ->
-    (B, K) global bank ROW indices (replicated)."""
+    """(q_means repl, cache shard, bank VALID-mask shard (bool)) ->
+    (B, K) global bank ROW indices (replicated).
+
+    The third argument is bank.valid — NOT bank.data_idx: padding rows
+    must arrive as False so their distances become +inf and mesh padding
+    never gets selected as a neighbor."""
     axis = cfg.mesh_axes[0]
     k = cfg.approximate_k
-    n_dev = mesh.devices.size
 
     def _local(q, cache_shard, valid_shard):
         n_loc = cache_shard.shape[0]

@@ -138,7 +138,12 @@ def export_serving_bundle(model, cfg: Config, params, out_dir: str, *,
         params)
     c, h, w = (int(s) for s in cfg.input_size)  # reference (C,H,W) order
     img_shape = (h, w, c)                       # the data path is NHWC
-    x_dtype = np.float32
+    # continuous models (CelebA lineage) are trained/evaluated on RAW uint8
+    # with (x + 0.5)/256 dequantization INSIDE preprocess_batch — exporting
+    # a float32 input spec would make that branch unreachable in the
+    # compiled program and silently score 0..255-scale floats unscaled.
+    # binary/gray data arrives as float in [0,1] (loaders pre-divide /255).
+    x_dtype = np.uint8 if cfg.input_type == "continuous" else np.float32
     kw = {"platforms": tuple(platforms)} if platforms else {}
 
     def _ser(fn, *specs):
@@ -183,6 +188,7 @@ def export_serving_bundle(model, cfg: Config, params, out_dir: str, *,
     manifest = {
         "model_name": cfg.model_name, "prior": cfg.prior,
         "input_type": cfg.input_type, "image_shape_nhwc": list(img_shape),
+        "x_dtype": np.dtype(x_dtype).name,
         "n_gen": n_gen, "ref_batch": ref_batch, "score_chunk": score_chunk,
         "s_total": s_total, "r": r, "rounds": rounds,
         "n_effective": n_effective,
@@ -239,6 +245,29 @@ class ServingBundle:
                     "data_idx": data["data_idx"], "valid": data["valid"]}
         return cls(manifest, fns, params, bank)
 
+    def _prep_x(self, x):
+        """Convert user input to the exported program's x spec.
+
+        Continuous bundles were exported for RAW uint8 (the program
+        dequantizes (x + 0.5)/256 internally, matching the live eval
+        protocol) — casting floats to uint8 silently would corrupt data,
+        so non-uint8 input is rejected. Binary/gray bundles take floats in
+        [0,1]; raw uint8 is scaled by /255 exactly like the live loaders
+        (ops/preprocess.to_float)."""
+        x = np.asarray(x)
+        if self.manifest.get("x_dtype", "float32") == "uint8":
+            if x.dtype != np.uint8:
+                raise ValueError(
+                    f"this bundle (input_type="
+                    f"{self.manifest['input_type']!r}) was exported for "
+                    f"raw uint8 images; got dtype {x.dtype} — pass the "
+                    f"undecoded uint8 array, the program dequantizes "
+                    f"internally")
+            return x
+        if x.dtype == np.uint8:
+            return x.astype(np.float32) / 255.0
+        return x.astype(np.float32)
+
     def generate(self, key):
         bm = (self.bank["bank_means"] if self.bank is not None
               else np.zeros((0,), np.float32))
@@ -248,22 +277,23 @@ class ServingBundle:
         assert x_ref.shape[0] == self.manifest["ref_batch"], \
             f"exported for batch {self.manifest['ref_batch']}"
         return self._fns["reference_generate"](
-            self.params, np.asarray(x_ref, np.float32), key)
+            self.params, self._prep_x(x_ref), key)
 
     def score_nll(self, x, key=None):
         """Mean + per-point IWAE NLL; loops fixed-shape chunks, padding the
         tail (padded rows are scored and discarded)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         chunk = self.manifest["score_chunk"]
+        x = self._prep_x(x)
         n = x.shape[0]
         outs = []
         for i, start in enumerate(range(0, n, chunk)):
-            xc = np.asarray(x[start:start + chunk], np.float32)
+            xc = x[start:start + chunk]
             true = xc.shape[0]
             if true < chunk:
                 xc = np.concatenate(
                     [xc, np.zeros((chunk - true,) + xc.shape[1:],
-                                  np.float32)], 0)
+                                  xc.dtype)], 0)
             k = jax.random.fold_in(key, i)
             if self.bank is not None:
                 o = self._fns["score_nll"](

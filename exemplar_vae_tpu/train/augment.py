@@ -153,13 +153,23 @@ def train_classifier(vae_model, vae_params, cfg: Config, splits, *,
 
 def load_experiment(exp_dir: str):
     """Rebuild an Experiment from a snapshot dir and load its best params
-    (for the augmentation pipeline and post-hoc analysis)."""
+    (for the augmentation pipeline and post-hoc analysis).
+
+    Restores from the DIRECTORY GIVEN — not the path the saved config would
+    derive (config.json carries the original snapshot_dir, which goes stale
+    the moment a run dir is moved, copied, or read from a different cwd).
+    Raises if no checkpoint restores: silently returning freshly-initialized
+    params would let a serving export or classifier study run on untrained
+    weights."""
     import os
     from exemplar_vae_tpu.train.trainer import Experiment
     with open(os.path.join(exp_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
-    exp = Experiment(cfg, verbose=False)
+    exp = Experiment(cfg, verbose=False, exp_dir=exp_dir)
     for tag in ("final", "last"):
         if exp.restore_checkpoint(tag):
-            break
-    return exp
+            return exp
+    raise FileNotFoundError(
+        f"no restorable checkpoint (ckpt_final or ckpt_last) under "
+        f"{exp_dir!r} — the run may have crashed before its first save; "
+        f"refusing to hand back untrained parameters")

@@ -52,10 +52,13 @@ def _to_host(x):
 
 
 def _save_tree(path, tree):
+    # plain write: atomicity is provided at the checkpoint-DIRECTORY level
+    # (save_checkpoint writes everything into ckpt_<tag>.tmp and commits
+    # with one directory swap), not per file — per-file os.replace left a
+    # torn-checkpoint window where state.npz was new but best_params.npz/
+    # meta.json were still the previous generation
     named = _flatten_with_keys(jax.tree.map(_to_host, tree))
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **{k: np.asarray(v) for k, v in named})
-    os.replace(tmp, path)  # atomic: a crash mid-save never corrupts the old file
+    np.savez(path, **{k: np.asarray(v) for k, v in named})
 
 
 def _load_tree(path, template):
@@ -94,61 +97,32 @@ def _barrier(name):
         multihost_utils.sync_global_devices(name)
 
 
-def _save_orbax(d, tree_dict, is_main: bool = True):
-    """Orbax backend (cfg.checkpoint_backend='orbax'): async-capable saves —
-    the right backend once a run spans processes
-    (mesh.maybe_init_distributed).
-
-    Multi-process: orbax coordinates its OWN cross-process syncs inside
-    save(), so every rank must enter this function (a rank-0-only call
-    deadlocks the others — caught by tests/test_multiprocess.py); the data
-    here is already host-gathered numpy, so only the primary host actually
-    writes array bytes. The directory swap is rank-0-only, fenced by
-    barriers.
-
-    Durability matches the npz path's tmp+os.replace: the new checkpoint is
-    fully written to a sibling `orbax.tmp` dir first, then swapped in with
-    two directory renames. A crash or preemption at any point leaves either
-    the old complete checkpoint at `orbax`, or (in the instant between the
-    two renames) a complete copy at `orbax.old` which _restore_orbax falls
-    back to — the previous resume point is never destroyed before the new
-    one is committed."""
-    import shutil
-    final = os.path.abspath(os.path.join(d, "orbax"))
-    tmp, old = final + ".tmp", final + ".old"
-    if is_main:
-        if not os.path.exists(final) and os.path.exists(old):
-            # a previous run crashed between the two commit renames: `old`
-            # holds the only complete checkpoint — promote it back to
-            # primary BEFORE any cleanup, so a crash during THIS save still
-            # leaves a restorable checkpoint
-            os.replace(old, final)
-        for p in (tmp, old):
-            if os.path.exists(p):
-                shutil.rmtree(p)
-    _barrier("orbax_pre_save")  # tmp cleared before any rank starts writing
-    ckptr = _orbax_checkpointer()
-    ckptr.save(tmp, tree_dict)
-    ckptr.wait_until_finished()  # tmp is now a complete checkpoint
-    _barrier("orbax_post_save")
-    if is_main:
-        if os.path.exists(final):
-            os.replace(final, old)
-        os.replace(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-    _barrier("orbax_committed")
-
-
 def _restore_orbax(d, template_dict):
     ckptr = _orbax_checkpointer()
     path = os.path.abspath(os.path.join(d, "orbax"))
     if not os.path.exists(path) and os.path.exists(path + ".old"):
-        path = path + ".old"  # crash landed between the two save renames
+        # pre-directory-swap layout (rounds 2-3 wrote orbax.tmp/orbax.old
+        # INSIDE the committed dir): a crash then could land between its
+        # two inner renames — keep restoring those checkpoints
+        path = path + ".old"
     try:
         return ckptr.restore(path, template_dict)
     except Exception as e:  # structure/shape drift must fail loudly
         raise CheckpointMismatch(f"orbax restore failed for {path}: {e}")
+
+
+def _promote_crashed(d):
+    """If a previous save crashed between the two commit renames, the only
+    complete checkpoint sits at d.old — promote it back to primary BEFORE
+    any cleanup, so a crash during THIS save still leaves a restorable
+    checkpoint at every instant."""
+    import shutil
+    old = d + ".old"
+    if (not os.path.exists(os.path.join(d, "meta.json"))
+            and os.path.exists(os.path.join(old, "meta.json"))):
+        if os.path.exists(d):
+            shutil.rmtree(d)  # partial/empty dir from the crashed commit
+        os.replace(old, d)
 
 
 def save_checkpoint(exp, tag: str = "last"):
@@ -161,7 +135,18 @@ def save_checkpoint(exp, tag: str = "last"):
     racing ahead of a half-written checkpoint (e.g. restoring it in the
     same run). Exercised for real by tests/test_multiprocess.py's
     2-process checkpoint cycle (both backends, sharded cache round-trip).
+
+    The checkpoint DIRECTORY is the atomic unit: every piece (state,
+    best_params, cache, meta.json) is written into ckpt_<tag>.tmp, then the
+    whole dir is committed with two renames (current -> .old, .tmp ->
+    current). A crash at any instant leaves either the previous complete
+    checkpoint at ckpt_<tag>, or (between the two renames) at
+    ckpt_<tag>.old, which restore_checkpoint falls back to — there is no
+    window where state.npz is one generation and best_params/meta another
+    (the old per-file os.replace scheme had exactly that torn window, for
+    both backends: orbax swapped its subdir but meta.json landed after).
     """
+    import shutil
     is_main = getattr(exp, "_is_main", jax.process_index() == 0)
     backend = getattr(exp.cfg, "checkpoint_backend", "npz")
     # collective section — all ranks participate in the cache gather
@@ -169,34 +154,53 @@ def save_checkpoint(exp, tag: str = "last"):
              if exp.bank is not None and exp.bank.cache_means is not None
              else None)
     d = os.path.join(exp.exp_dir, f"ckpt_{tag}")
+    tmp_d = d + ".tmp"
     if is_main:
-        os.makedirs(d, exist_ok=True)
+        _promote_crashed(d)
+        if os.path.exists(tmp_d):
+            shutil.rmtree(tmp_d)  # stale tmp from a crashed save
+        os.makedirs(tmp_d)
+    _barrier(f"ckpt_pre_{tag}")  # tmp ready before any rank writes into it
     if backend == "orbax":
-        # all ranks enter: orbax syncs processes inside save()
+        # all ranks enter: orbax coordinates its OWN cross-process syncs
+        # inside save() (a rank-0-only call deadlocks the others — caught
+        # by tests/test_multiprocess.py); the data is already host-gathered
+        # numpy, so only the primary host writes array bytes
         tree = {"state": jax.tree.map(_to_host, exp.state),
                 "best_params": jax.tree.map(_to_host, exp.best_params)}
         if cache is not None:
             tree["cache"] = cache
-        _save_orbax(d, tree, is_main=is_main)
+        ckptr = _orbax_checkpointer()
+        ckptr.save(os.path.abspath(os.path.join(tmp_d, "orbax")), tree)
+        ckptr.wait_until_finished()
     elif is_main:
-        _save_tree(os.path.join(d, "state.npz"), exp.state)
-        _save_tree(os.path.join(d, "best_params.npz"), exp.best_params)
+        _save_tree(os.path.join(tmp_d, "state.npz"), exp.state)
+        _save_tree(os.path.join(tmp_d, "best_params.npz"), exp.best_params)
         if cache is not None:
-            tmp = os.path.join(d, "cache.npz.tmp.npz")
-            np.savez(tmp, cache=cache)
-            os.replace(tmp, os.path.join(d, "cache.npz"))
+            np.savez(os.path.join(tmp_d, "cache.npz"), cache=cache)
+    _barrier(f"ckpt_written_{tag}")
     if is_main:
         meta = {"epoch": exp.epoch, "best_val": exp.best_val,
                 "bad_epochs": exp.bad_epochs, "backend": backend}
-        tmp = os.path.join(d, "meta.json.tmp")
-        with open(tmp, "w") as f:
+        with open(os.path.join(tmp_d, "meta.json"), "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(d, "meta.json"))
+        # commit: swap the whole directory in two renames
+        old_d = d + ".old"
+        if os.path.exists(old_d):
+            shutil.rmtree(old_d)
+        if os.path.exists(d):
+            os.replace(d, old_d)
+        os.replace(tmp_d, d)
+        if os.path.exists(old_d):
+            shutil.rmtree(old_d)
     _barrier(f"ckpt_save_{tag}")
 
 
 def restore_checkpoint(exp, tag: str = "last") -> bool:
     d = os.path.join(exp.exp_dir, f"ckpt_{tag}")
+    if (not os.path.exists(os.path.join(d, "meta.json"))
+            and os.path.exists(os.path.join(d + ".old", "meta.json"))):
+        d = d + ".old"  # crash landed between the two commit renames
     meta_p = os.path.join(d, "meta.json")
     if not os.path.exists(meta_p):
         return False
@@ -207,10 +211,12 @@ def restore_checkpoint(exp, tag: str = "last") -> bool:
                     "best_params": jax.device_get(exp.best_params)}
         has_cache = exp.bank is not None and exp.bank.cache_means is not None
         if has_cache:
-            # _to_host, not device_get: the live cache is sharded across
-            # processes on a pod (all ranks are in here, so the collective
-            # gather is well-formed)
-            template["cache"] = _to_host(exp.bank.cache_means)
+            # orbax only needs shape/dtype from the template, both of which
+            # are global properties available locally — allgathering the
+            # live multi-GB sharded cache just to overwrite it would be
+            # wasted cross-host traffic on every resume
+            cm = exp.bank.cache_means
+            template["cache"] = np.zeros(cm.shape, cm.dtype)
         restored = _restore_orbax(d, template)
         exp.state = TrainState(*restored["state"])
         exp.best_params = restored["best_params"]

@@ -54,7 +54,12 @@ def beta_schedule(epoch: int, warmup: int) -> float:
 class Experiment:
     """Owns data, model, mesh, compiled functions, and the epoch loop."""
 
-    def __init__(self, cfg: Config, verbose: bool = True):
+    def __init__(self, cfg: Config, verbose: bool = True,
+                 exp_dir: str = None):
+        # exp_dir: explicit experiment directory (for post-hoc loading of a
+        # moved/copied run dir — augment.load_experiment); default derives
+        # <snapshot_dir>/<experiment_name> like the reference's dir scheme
+        self._exp_dir_override = exp_dir
         self.splits, self.cfg = load_dataset(cfg)
         cfg = self.cfg
         self.verbose = verbose
@@ -176,7 +181,9 @@ class Experiment:
         self.bad_epochs = 0
 
         # --- experiment dir + metrics (process 0 owns the filesystem) ---
-        self.exp_dir = os.path.join(cfg.snapshot_dir, cfg.experiment_name())
+        self.exp_dir = (self._exp_dir_override
+                        or os.path.join(cfg.snapshot_dir,
+                                        cfg.experiment_name()))
         if self._is_main:
             os.makedirs(self.exp_dir, exist_ok=True)
             with open(os.path.join(self.exp_dir, "config.json"), "w") as f:

@@ -65,6 +65,42 @@ def test_classifier_requires_labels(vae_setup):
         train_classifier(m, params, cfg, splits2)
 
 
+def test_load_experiment_moved_dir_and_missing_checkpoint(tmp_path):
+    """load_experiment restores from the DIRECTORY GIVEN (a moved/copied
+    run dir keeps working even though config.json's snapshot_dir went
+    stale), and raises instead of silently returning untrained params when
+    no checkpoint exists (round-3 review finding: a serving export from a
+    crashed run would otherwise ship random weights)."""
+    import shutil
+    from exemplar_vae_tpu.train.augment import load_experiment
+    from exemplar_vae_tpu.train.trainer import Experiment
+    cfg = Config(dataset_name="synthetic", model_name="vae",
+                 prior="standard", hidden_size=16, z1_size=4,
+                 training_set_size=64, val_set_size=16, test_set_size=16,
+                 batch_size=16, epochs=1,
+                 snapshot_dir=str(tmp_path / "snap"))
+    exp = Experiment(cfg, verbose=False)
+    exp.train_epoch()
+    exp.save_checkpoint("final")
+    moved = str(tmp_path / "elsewhere" / "run")
+    shutil.move(exp.exp_dir, moved)
+
+    got = load_experiment(moved)
+    assert got.epoch == 1
+    for a, b in zip(jax.tree.leaves(exp.state.params),
+                    jax.tree.leaves(got.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a dir with a config but no checkpoint must fail loudly
+    import os
+    bare = tmp_path / "bare"
+    os.makedirs(bare)
+    with open(bare / "config.json", "w") as f:
+        f.write(cfg.to_json())
+    with pytest.raises(FileNotFoundError, match="untrained"):
+        load_experiment(str(bare))
+
+
 def test_mlp_classifier_shapes():
     clf = MLPClassifier(n_classes=10, hidden=32)
     k = jax.random.PRNGKey(0)

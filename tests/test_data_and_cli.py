@@ -86,9 +86,15 @@ def test_omniglot_from_chardata_mat(tmp_path):
     assert ds.source == "real"
     assert ds.train_x.shape == (108, 28, 28, 1)          # 120 - 12 val
     assert ds.test_x.shape == (30, 28, 28, 1)
-    # column-major per image: image k of the mat is column k
-    want = data[:, 0].reshape(28, 28)
+    # column-major PER IMAGE: image k is column k of the mat, with its 784
+    # pixels unflattened in Fortran order (the lineage loader re-flattens
+    # each image with order='F'); a C-order unflatten would transpose
+    # every image's strokes
+    want = data[:, 0].reshape(28, 28, order="F")
     np.testing.assert_allclose(np.asarray(ds.train_x[0, :, :, 0]), want)
+    # (test split can't be pixel-pinned the same way: eval splits are
+    # binarized once at load with EVAL_BIN_SEED — the train pin above
+    # covers the shared reshape path)
 
 
 def test_celeba_from_npz_triple(tmp_path):

@@ -161,6 +161,50 @@ def test_bundle_exports_every_family(model_name, tmp_path):
     assert np.isfinite(per).all()
 
 
+def test_continuous_bundle_scores_raw_uint8(tmp_path):
+    """Continuous (CelebA-protocol) bundles export a RAW uint8 input spec —
+    the (x + 0.5)/256 dequantization runs INSIDE the compiled program, so
+    replay matches the live library path on the same uint8 data. A float32
+    spec would make that branch unreachable and silently score 0..255
+    floats unscaled (round-3 review finding). Float input is rejected
+    loudly rather than silently cast."""
+    from exemplar_vae_tpu.ops.preprocess import preprocess_batch
+    cfg = Config(model_name="vae", prior="exemplar_prior", hidden_size=16,
+                 z1_size=4, S=4, MB=2, dataset_name="synthetic",
+                 use_pallas_prior=False, input_type="continuous",
+                 dynamic_binarization=False)
+    m = create_model(cfg)
+    k = jax.random.PRNGKey(0)
+    x8 = np.asarray(jax.random.randint(k, (12, 28, 28, 1), 0, 256), np.uint8)
+    xf = preprocess_batch(k, jnp.asarray(x8), input_type="continuous",
+                          dynamic_binarization=False, train=False)
+    v = m.init(k, xf, k)
+    bank = Bank(images=jnp.asarray(x8),
+                data_idx=jnp.arange(12, dtype=jnp.int32),
+                valid=jnp.ones(12, bool), cache_means=None, n_effective=12)
+    eb = make_eval_bank_fn(m, cfg)(v["params"], bank, k)
+    out = str(tmp_path / "bundle_cont")
+    man = export_serving_bundle(m, cfg, v["params"], out,
+                                bank_means=eb.cache_means,
+                                data_idx=eb.data_idx, valid=eb.valid,
+                                n_effective=12, n_gen=2, ref_batch=4,
+                                score_chunk=4, s_total=4, r=2)
+    assert man["x_dtype"] == "uint8"
+    b = ServingBundle.load(out)
+    key = jax.random.PRNGKey(5)
+    _, per_b = b.score_nll(x8[:8], key)
+    iwae = make_iwae_fn(m, cfg)
+    _, per_l = iwae(v["params"], jnp.asarray(x8[:8]), key, eb,
+                    s_total=4, chunk=4, r=2)
+    np.testing.assert_allclose(per_b, np.asarray(per_l), rtol=1e-5, atol=1e-5)
+    ref = np.asarray(b.reference_generate(x8[:4], key))
+    assert np.isfinite(ref).all()
+    with pytest.raises(ValueError, match="uint8"):
+        b.score_nll(np.asarray(x8[:4], np.float32), key)
+    with pytest.raises(ValueError, match="uint8"):
+        b.reference_generate(np.asarray(x8[:4], np.float32), key)
+
+
 def test_bundle_no_model_code_needed(trained, tmp_path):
     """The loader reconstructs params purely from the npz path keys —
     perturbing a weight changes the replayed output (weights are a live

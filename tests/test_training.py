@@ -192,40 +192,49 @@ def test_checkpoint_mismatched_config_fails_loudly(tmp_path):
         exp2.restore_checkpoint()
 
 
-def test_orbax_save_is_atomic_and_crash_recoverable(tmp_path):
-    """Round-2 ADVICE (medium): a crash mid-save must never destroy the
-    only resume point. The orbax save now writes to orbax.tmp first and
-    swaps with two renames; a crash in the instant between them leaves a
-    complete copy at orbax.old which restore falls back to."""
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_checkpoint_save_is_atomic_and_crash_recoverable(tmp_path, backend):
+    """Round-2 ADVICE (medium) + round-3 review: a crash mid-save must
+    never destroy the only resume point, and a crash can never leave a
+    MIXED-generation checkpoint (new state.npz with old meta.json). The
+    whole ckpt_<tag> directory is the atomic unit: built at ckpt_<tag>.tmp,
+    committed with two renames; the instant between them leaves a complete
+    copy at ckpt_<tag>.old which restore falls back to."""
     import os
 
-    cfg = _base(tmp_path, epochs=2, checkpoint_backend="orbax")
+    cfg = _base(tmp_path, epochs=2, checkpoint_backend=backend)
     exp = Experiment(cfg, verbose=False)
     exp.train_epoch()
     exp.best_val = 42.0
     exp.save_checkpoint()
     d = os.path.join(exp.exp_dir, "ckpt_last")
-    final = os.path.join(d, "orbax")
-    assert os.path.exists(final)
-    assert not os.path.exists(final + ".tmp")  # cleaned up after commit
-    assert not os.path.exists(final + ".old")
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    assert not os.path.exists(d + ".tmp")  # cleaned up after commit
+    assert not os.path.exists(d + ".old")
 
-    # simulate the crash window between the two renames: final gone,
-    # previous checkpoint parked at .old
-    os.replace(final, final + ".old")
+    # simulate the crash window between the two commit renames: the
+    # checkpoint dir is gone, the previous generation parked at .old
+    os.replace(d, d + ".old")
     exp2 = Experiment(cfg, verbose=False)
     assert exp2.restore_checkpoint()
     assert exp2.epoch == 1 and exp2.best_val == 42.0
 
-    # a second save over the crashed layout (final missing, .old holding
-    # the only complete checkpoint) must FIRST promote .old back to final,
-    # so a checkpoint remains restorable at every instant of that save —
-    # this was the round-3 fix: the old pre-clean rmtree'd .old before the
-    # replacement was durable
+    # a second save over the crashed layout (dir missing, .old holding the
+    # only complete checkpoint) must FIRST promote .old back, so a
+    # checkpoint remains restorable at every instant of that save
     exp2.save_checkpoint()
-    assert os.path.exists(final)
-    assert not os.path.exists(final + ".old")
-    assert not os.path.exists(final + ".tmp")
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    assert not os.path.exists(d + ".old")
+    assert not os.path.exists(d + ".tmp")
     exp3 = Experiment(cfg, verbose=False)
     assert exp3.restore_checkpoint()
     assert exp3.epoch == 1 and exp3.best_val == 42.0
+
+    # a stale half-written tmp dir from a crashed save must be ignored by
+    # restore and cleared by the next save
+    os.makedirs(d + ".tmp")
+    exp4 = Experiment(cfg, verbose=False)
+    assert exp4.restore_checkpoint()
+    assert exp4.epoch == 1 and exp4.best_val == 42.0
+    exp4.save_checkpoint()
+    assert not os.path.exists(d + ".tmp")

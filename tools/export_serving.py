@@ -50,7 +50,8 @@ def main():
         exp.model, exp.cfg, exp.best_params, out,
         n_gen=ns.n_gen, ref_batch=ns.ref_batch,
         score_chunk=ns.score_chunk, s_total=ns.S, r=ns.MB,
-        platforms=ns.platforms.split(",") if ns.platforms else None, **kw)
+        platforms=([p.strip() for p in ns.platforms.split(",") if p.strip()]
+                   if ns.platforms else None), **kw)
     size = sum(_os.path.getsize(_os.path.join(out, f))
                for f in _os.listdir(out))
     print(f"exported serving bundle to {out} "
