@@ -42,8 +42,15 @@ class NonLinear(nn.Module):
 class GatedDense(nn.Module):
     """h = f(W1 x) * sigmoid(W2 x) (reference: utils/nn.py::GatedDense [U]).
 
-    The two projections are fused into one matmul of 2x width so the MXU sees
-    a single large GEMM instead of two half-size ones.
+    PARAMETERS are kept as two separate (kernel, bias) pairs — matching the
+    reference's two nn.Linear modules — because AdamNormGrad normalizes
+    gradients PER TENSOR: a fused 2x-width kernel would L2-normalize the
+    value and gate gradients jointly, boosting/shrinking each half
+    differently from the reference whenever their norms differ (gate grads
+    shrink through the sigmoid), i.e. a different training trajectory.
+    COMPUTE still concatenates the kernels into one 2x-width GEMM so the
+    MXU sees a single large matmul; the concat is fused by XLA and is noise
+    next to the GEMM itself.
     """
     features: int
     activation: Optional[Callable] = None
@@ -51,8 +58,17 @@ class GatedDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hg = nn.Dense(2 * self.features, kernel_init=he_init,
-                      dtype=self.dtype)(x)
+        d_in = x.shape[-1]
+        wh = self.param("h_kernel", he_init, (d_in, self.features))
+        wg = self.param("g_kernel", he_init, (d_in, self.features))
+        bh = self.param("h_bias", nn.initializers.zeros, (self.features,))
+        bg = self.param("g_bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or wh.dtype
+        # cast BEFORE concat: halves the HBM traffic of the per-step fuse
+        # when dt is bf16 (params stay fp32 leaves)
+        w = jnp.concatenate([wh.astype(dt), wg.astype(dt)], axis=-1)
+        b = jnp.concatenate([bh.astype(dt), bg.astype(dt)])
+        hg = x.astype(dt) @ w + b
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)
@@ -62,7 +78,9 @@ class GatedDense(nn.Module):
 class GatedConv2d(nn.Module):
     """Gated convolution, NHWC (reference: utils/nn.py::GatedConv2d [U]).
 
-    Channel-fused: one conv with 2x output channels, split into value/gate.
+    Separate value/gate kernels (reference granularity for AdamNormGrad's
+    per-tensor normalization — see GatedDense), channel-concatenated into
+    ONE conv so the MXU runs a single 2x-channel convolution.
     """
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -72,8 +90,18 @@ class GatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hg = nn.Conv(2 * self.features, self.kernel_size, strides=self.strides,
-                     padding="SAME", kernel_init=he_init, dtype=self.dtype)(x)
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        wh = self.param("h_kernel", he_init, (kh, kw, c_in, self.features))
+        wg = self.param("g_kernel", he_init, (kh, kw, c_in, self.features))
+        bh = self.param("h_bias", nn.initializers.zeros, (self.features,))
+        bg = self.param("g_bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or wh.dtype
+        w = jnp.concatenate([wh.astype(dt), wg.astype(dt)], axis=-1)
+        b = jnp.concatenate([bh.astype(dt), bg.astype(dt)])
+        hg = jax.lax.conv_general_dilated(
+            x.astype(dt), w, window_strides=self.strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)
@@ -81,7 +109,8 @@ class GatedConv2d(nn.Module):
 
 
 class GatedConvTranspose2d(nn.Module):
-    """Gated transposed convolution for decoders, NHWC."""
+    """Gated transposed convolution for decoders, NHWC (same separate
+    value/gate parameterization as GatedConv2d, single fused conv)."""
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (2, 2)
@@ -90,9 +119,18 @@ class GatedConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        hg = nn.ConvTranspose(2 * self.features, self.kernel_size,
-                              strides=self.strides, padding="SAME",
-                              kernel_init=he_init, dtype=self.dtype)(x)
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        wh = self.param("h_kernel", he_init, (kh, kw, c_in, self.features))
+        wg = self.param("g_kernel", he_init, (kh, kw, c_in, self.features))
+        bh = self.param("h_bias", nn.initializers.zeros, (self.features,))
+        bg = self.param("g_bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or wh.dtype
+        w = jnp.concatenate([wh.astype(dt), wg.astype(dt)], axis=-1)
+        b = jnp.concatenate([bh.astype(dt), bg.astype(dt)])
+        hg = jax.lax.conv_transpose(
+            x.astype(dt), w, strides=self.strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
         h, g = jnp.split(hg, 2, axis=-1)
         if self.activation is not None:
             h = self.activation(h)

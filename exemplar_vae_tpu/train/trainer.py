@@ -109,7 +109,8 @@ class Experiment:
             shard = NamedSharding(self.mesh, P("data")) if self.multi else repl
             cache = None
             if cfg.approximate_prior:
-                top = cfg.z1_size if cfg.model_name.lower() == "vae" else cfg.z2_size
+                from exemplar_vae_tpu.train.sampling import _top_dim
+                top = _top_dim(cfg)
                 # cache is sharded alongside the bank on a mesh, replicated
                 # on a single chip
                 cache = global_put(np.zeros((len(imgs), top), np.float32),
@@ -255,10 +256,17 @@ class Experiment:
         # with the load-time eval binarization (data/loaders.EVAL_BIN_SEED)
         # this makes validation deterministic given the params, so
         # best-on-val / early stopping track the model, not eval noise.
+        return self._validate_with(self.state.params)
+
+    def _validate_with(self, params):
+        # one FIXED eval key per run — final_evaluation recomputes the val
+        # ELBO with the SAME keys, so results.json's best_val_loss equals
+        # the best_val that actually drove model selection (a different
+        # reparam draw there would report a phantom offset)
         ekey = jax.random.fold_in(self.key, 1_000_003)
-        eval_bank = (self.build_eval_bank(self.state.params, self.bank, ekey)
+        eval_bank = (self.build_eval_bank(params, self.bank, ekey)
                      if self.bank is not None else None)
-        return self.elbo_eval(self.state.params, self.splits.val_x,
+        return self.elbo_eval(params, self.splits.val_x,
                               jax.random.fold_in(ekey, 5), eval_bank)
 
     def run(self, max_epochs: Optional[int] = None) -> dict:
@@ -306,8 +314,10 @@ class Experiment:
         test_nll, _ = self.iwae(params, self.splits.test_x,
                                 jax.random.fold_in(fkey, 1), eval_bank,
                                 s_total=s_total)
-        val_loss, val_re, val_kl = self.elbo_eval(
-            params, self.splits.val_x, jax.random.fold_in(fkey, 2), eval_bank)
+        # same keys as validate(): with params == best_params this equals
+        # the tracked best_val exactly (validation is deterministic given
+        # params — tests/test_training.py)
+        val_loss, val_re, val_kl = self._validate_with(params)
         results = {"test_nll": float(test_nll), "best_val_loss": float(val_loss),
                    "epochs_trained": self.epoch}
         if self._is_main:

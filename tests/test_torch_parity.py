@@ -43,12 +43,13 @@ def problem():
     return cfg, m, v, x, bank, eps, didx
 
 
-def torch_gated(x, kernel, bias):
-    """Our fused GatedDense: Dense(2f) -> split -> h * sigmoid(g)."""
-    w = torch.tensor(np.asarray(kernel))
-    b = torch.tensor(np.asarray(bias))
-    hg = x @ w + b
-    h, g = hg.chunk(2, dim=-1)
+def torch_gated(x, gp):
+    """GatedDense: two separate Linear projections (the reference's
+    per-Parameter granularity), value * sigmoid(gate)."""
+    h = x @ torch.tensor(np.asarray(gp["h_kernel"])) \
+        + torch.tensor(np.asarray(gp["h_bias"]))
+    g = x @ torch.tensor(np.asarray(gp["g_kernel"])) \
+        + torch.tensor(np.asarray(gp["g_bias"]))
     return h * torch.sigmoid(g)
 
 
@@ -61,10 +62,8 @@ def torch_objective(params, x, bank, eps, didx, beta=1.0):
     p = params
 
     def encode(xf):
-        h = torch_gated(xf, p["q_layers_0"]["Dense_0"]["kernel"],
-                        p["q_layers_0"]["Dense_0"]["bias"])
-        h = torch_gated(h, p["q_layers_1"]["Dense_0"]["kernel"],
-                        p["q_layers_1"]["Dense_0"]["bias"])
+        h = torch_gated(xf, p["q_layers_0"])
+        h = torch_gated(h, p["q_layers_1"])
         mean = torch_dense(h, p["q_mean_head"]["kernel"],
                            p["q_mean_head"]["bias"])
         logvar = torch_dense(h, p["q_logvar_head"]["Dense_0"]["kernel"],
@@ -75,10 +74,8 @@ def torch_objective(params, x, bank, eps, didx, beta=1.0):
     q_mean, q_logvar = encode(xf)
     z = q_mean + torch.exp(0.5 * q_logvar) * torch.tensor(eps)
 
-    h = torch_gated(z, p["p_layers_0"]["Dense_0"]["kernel"],
-                    p["p_layers_0"]["Dense_0"]["bias"])
-    h = torch_gated(h, p["p_layers_1"]["Dense_0"]["kernel"],
-                    p["p_layers_1"]["Dense_0"]["bias"])
+    h = torch_gated(z, p["p_layers_0"])
+    h = torch_gated(h, p["p_layers_1"])
     probs = torch.sigmoid(torch_dense(h, p["p_mean_head"]["Dense_0"]["kernel"],
                                       p["p_mean_head"]["Dense_0"]["bias"]))
     probs = probs.clamp(1e-5, 1 - 1e-5)

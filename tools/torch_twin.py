@@ -16,9 +16,14 @@ Everything the reference trajectory exercises is here, independently:
   -> per-epoch val ELBO (full bank, no LOO, denominator N)
   -> IWAE test NLL (importance samples in rounds, online over rounds).
 
-Parameters are kept in the flax layout ((in, out) kernels; the fused
-GatedDense Dense(2f) splits into h/g halves) so weights copy across without
-transposition ambiguity. All math is fp32, like the JAX side.
+Parameters are kept in the flax layout ((in, out) kernels; gated layers
+carry SEPARATE h_kernel/g_kernel (+biases) like the reference's two Linear
+modules — AdamNormGrad's per-tensor normalization depends on that
+granularity) so weights copy across without transposition ambiguity. All
+math is fp32, like the JAX side. The AdamNormGrad mode implements the
+reference's OLD-TORCH update (denom = sqrt(v)+eps, step scaled by
+sqrt(1-b2^t)/(1-b1^t)) — NOT torch.optim.Adam, whose modern eps placement
+differs (train/optimizer.py::scale_by_reference_adam).
 """
 
 from __future__ import annotations
@@ -54,8 +59,19 @@ class TorchTwin:
         self.p = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
                   for k, v in _flatten(flax_params).items()}
         self.z_dim = self._resolve_z_dim()
-        self.opt = torch.optim.Adam(list(self.p.values()), lr=lr,
-                                    betas=betas, eps=adam_eps)
+        if self.norm_grads:
+            # reference AdamNormGrad: hand-rolled old-torch Adam update
+            self.lr, self.b1, self.b2, self.adam_eps = (lr, betas[0],
+                                                        betas[1], adam_eps)
+            self._step_t = 0
+            self._m = {k: torch.zeros_like(t) for k, t in self.p.items()}
+            self._v = {k: torch.zeros_like(t) for k, t in self.p.items()}
+            self.opt = None
+        else:
+            # plain-Adam variance-reduced mode mirrors optax.scale_by_adam
+            # (modern eps placement) — train/optimizer.py::plain_adam
+            self.opt = torch.optim.Adam(list(self.p.values()), lr=lr,
+                                        betas=betas, eps=adam_eps)
 
     def _resolve_z_dim(self):
         return self.p["q_mean_head/kernel"].shape[1]
@@ -72,8 +88,8 @@ class TorchTwin:
         return x @ self.p[f"{name}/kernel"] + self.p[f"{name}/bias"]
 
     def _gated(self, x, name):
-        hg = self._dense(x, f"{name}/Dense_0")
-        h, g = hg.chunk(2, dim=-1)
+        h = x @ self.p[f"{name}/h_kernel"] + self.p[f"{name}/h_bias"]
+        g = x @ self.p[f"{name}/g_kernel"] + self.p[f"{name}/g_bias"]
         return h * self.torch.sigmoid(g)
 
     def encode(self, x2d):
@@ -131,13 +147,28 @@ class TorchTwin:
             torch.tensor(np.asarray(idx, np.int64)),
             torch.arange(len(bank)), self.train_log_denom(n_bank))
         loss = (-re + beta * kl).mean()
-        self.opt.zero_grad()
+        for t in self.p.values():
+            t.grad = None
         loss.backward()
         if self.norm_grads:
-            for t in self.p.values():  # AdamNormGrad: g <- g/(||g||_2 + 1e-7)
-                if t.grad is not None:
-                    t.grad.div_(t.grad.norm() + self.norm_eps)
-        self.opt.step()
+            # reference AdamNormGrad step: per-tensor L2 normalization, then
+            # the old-torch Adam form (module docstring)
+            self._step_t += 1
+            t_ = self._step_t
+            step_size = (self.lr * (1 - self.b2 ** t_) ** 0.5
+                         / (1 - self.b1 ** t_))
+            with torch.no_grad():
+                for k, t in self.p.items():
+                    if t.grad is None:
+                        continue
+                    g = t.grad / (t.grad.norm() + self.norm_eps)
+                    self._m[k].mul_(self.b1).add_(g, alpha=1 - self.b1)
+                    self._v[k].mul_(self.b2).addcmul_(g, g,
+                                                      value=1 - self.b2)
+                    t.sub_(step_size * self._m[k]
+                           / (self._v[k].sqrt() + self.adam_eps))
+        else:
+            self.opt.step()
         return float(loss)
 
     def val_elbo(self, x, eps, bank, n_bank):
@@ -332,11 +363,9 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
         """NCHW -> flax's NHWC flatten order."""
         return x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
 
-    def _conv(self, x, name, stride):
+    def _conv_raw(self, x, w, b, stride):
         F = self.torch.nn.functional
-        w = self.p[f"{name}/kernel"]          # flax layout (kh, kw, in, out)
-        b = self.p[f"{name}/bias"]
-        k = w.shape[0]
+        k = w.shape[0]                        # flax layout (kh, kw, in, out)
 
         def pads(n):
             total = max((-(-n // stride) - 1) * stride + k - n, 0)
@@ -345,11 +374,13 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
         x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
         return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=stride)
 
-    def _conv_t(self, x, name, stride):
+    def _conv(self, x, name, stride):
+        return self._conv_raw(x, self.p[f"{name}/kernel"],
+                              self.p[f"{name}/bias"], stride)
+
+    def _conv_t_raw(self, x, w, b, stride):
         F = self.torch.nn.functional
-        w = self.p[f"{name}/kernel"]          # (kh, kw, in, out)
-        b = self.p[f"{name}/bias"]
-        k = w.shape[0]
+        k = w.shape[0]                        # (kh, kw, in, out)
         if stride > 1:                        # fractional stride: dilate input
             n, c, hh, ww = x.shape
             z = x.new_zeros(n, c, (hh - 1) * stride + 1, (ww - 1) * stride + 1)
@@ -361,13 +392,25 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
         x = F.pad(x, (pad_a, pad_b, pad_a, pad_b))
         return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=1)
 
+    def _gated_w(self, name):
+        """Concatenate the separate value/gate tensors (the reference's
+        AdamNormGrad granularity) into the single fused conv the JAX layer
+        runs — bit-identical compute, two-tensor parameters."""
+        torch = self.torch
+        w = torch.cat([self.p[f"{name}/h_kernel"],
+                       self.p[f"{name}/g_kernel"]], dim=3)
+        b = torch.cat([self.p[f"{name}/h_bias"], self.p[f"{name}/g_bias"]])
+        return w, b
+
     def _gated_conv(self, x, name, stride):
-        hg = self._conv(x, f"{name}/Conv_0", stride)
+        w, b = self._gated_w(name)
+        hg = self._conv_raw(x, w, b, stride)
         h, g = hg.chunk(2, dim=1)
         return h * self.torch.sigmoid(g)
 
     def _gated_conv_t(self, x, name, stride):
-        hg = self._conv_t(x, f"{name}/ConvTranspose_0", stride)
+        w, b = self._gated_w(name)
+        hg = self._conv_t_raw(x, w, b, stride)
         h, g = hg.chunk(2, dim=1)
         return h * self.torch.sigmoid(g)
 
