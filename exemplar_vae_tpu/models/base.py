@@ -62,6 +62,20 @@ def reconstruction_log_lik(x, x_mean, x_logvar, input_type: str):
     return log_logistic_256(xf, mf, lvf)
 
 
+def likelihood_params(x_mean, logvar_fn, input_type: str):
+    """Decoder likelihood-head clamps shared by EVERY family [U]:
+    binary -> (sigmoid'd mean, zero log-var placeholder); gray/continuous
+    -> mean clipped to [1/512, 1-1/512] (logistic-256 bin snapping) plus
+    the hardtanh'd log-var head. ``x_mean`` arrives already sigmoid'd and
+    fp32; ``logvar_fn`` evaluates the log-var head lazily (binary models
+    don't declare one). One definition so a clamp change can't silently
+    miss one of the five decode sites."""
+    if input_type == "binary":
+        return x_mean, jnp.zeros_like(x_mean)
+    return (jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0),
+            logvar_fn().astype(jnp.float32))
+
+
 def prior_log_var_floor(cfg) -> float:
     """Lower clamp for the learned prior log-variance.
 

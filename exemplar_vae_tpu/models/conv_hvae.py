@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from exemplar_vae_tpu.config import Config, parse_conv_spec
-from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.base import (ForwardOut, PriorMixin,
+                                          likelihood_params,
+                                          reparameterize)
 from exemplar_vae_tpu.models.layers import (
     GatedConv2d,
     GatedConvTranspose2d,
@@ -157,14 +159,10 @@ class ConvHVAE(nn.Module, PriorMixin):
         h = h.reshape(h.shape[0], dh, dw, self.cfg.conv_proj_channels)
         for layer in self.p_x_deconv:
             h = layer(h)
-        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
-        if self.cfg.input_type == "binary":
-            x_logvar = jnp.zeros_like(x_mean)
-        else:
-            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = p_logvar_activation(
-                self.p_x_logvar_head(h)).astype(jnp.float32)
-        return x_mean, x_logvar
+        return likelihood_params(
+            jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32),
+            lambda: p_logvar_activation(self.p_x_logvar_head(h)),
+            self.cfg.input_type)
 
     def __call__(self, x, key):
         k2, k1 = jax.random.split(key)

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from exemplar_vae_tpu.config import Config
-from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.base import (ForwardOut, PriorMixin,
+                                          likelihood_params,
+                                          reparameterize)
 from exemplar_vae_tpu.models.layers import (
     GatedDense,
     NonLinear,
@@ -25,39 +27,37 @@ from exemplar_vae_tpu.models.layers import (
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
 
-class HVAE(nn.Module, PriorMixin):
-    cfg: Config
+class TwoLevelMLPCore:
+    """Shared MLP inference net + p(z1|z2) of the two-level families —
+    HVAE and PixelHVAE use the SAME encoder/q(z1)/p(z1) structure
+    (reference: PixelHVAE_2level reuses the HVAE encoder [U]). Methods
+    operate on submodules declared by `_setup_two_level_mlp` from the
+    concrete class's setup; attribute names are the param-tree contract
+    (torch twins and checkpoints key on them)."""
 
-    def setup(self):
+    def _setup_two_level_mlp(self):
         cfg = self.cfg
         h = cfg.hidden_size
         dt = compute_dtype(cfg)
         # q(z2 | x)
         self.q_z2_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
         self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation_for(cfg),
+        self.q_z2_logvar_head = NonLinear(cfg.z2_size,
+                                          q_logvar_activation_for(cfg),
                                           dtype=dt)
         # q(z1 | x, z2)
         self.q_z1_x = GatedDense(h, dtype=dt)
         self.q_z1_z2 = GatedDense(h, dtype=dt)
         self.q_z1_joint = GatedDense(h, dtype=dt)
         self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation_for(cfg),
+        self.q_z1_logvar_head = NonLinear(cfg.z1_size,
+                                          q_logvar_activation_for(cfg),
                                           dtype=dt)
         # p(z1 | z2)
         self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
         self.p_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
         self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
                                           dtype=dt)
-        # p(x | z1, z2)
-        self.p_x_z1 = GatedDense(h, dtype=dt)
-        self.p_x_z2 = GatedDense(h, dtype=dt)
-        self.p_x_joint = GatedDense(h, dtype=dt)
-        self.p_x_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid, dtype=dt)
-        if cfg.input_type != "binary":
-            self.p_x_logvar_head = NonLinear(cfg.input_dim,
-                                             p_logvar_activation, dtype=dt)
-        self._setup_prior()
 
     # --- inference net ---
     def encode_top(self, x):
@@ -94,16 +94,32 @@ class HVAE(nn.Module, PriorMixin):
         return (self.p_z1_mean_head(h).astype(jnp.float32),
                 self.p_z1_logvar_head(h).astype(jnp.float32))
 
+
+class HVAE(nn.Module, TwoLevelMLPCore, PriorMixin):
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.hidden_size
+        dt = compute_dtype(cfg)
+        self._setup_two_level_mlp()
+        # p(x | z1, z2)
+        self.p_x_z1 = GatedDense(h, dtype=dt)
+        self.p_x_z2 = GatedDense(h, dtype=dt)
+        self.p_x_joint = GatedDense(h, dtype=dt)
+        self.p_x_mean_head = NonLinear(cfg.input_dim, jax.nn.sigmoid, dtype=dt)
+        if cfg.input_type != "binary":
+            self.p_x_logvar_head = NonLinear(cfg.input_dim,
+                                             p_logvar_activation, dtype=dt)
+        self._setup_prior()
+
     def decode(self, z1, z2):
         h1 = self.p_x_z1(z1)
         h2 = self.p_x_z2(z2)
         h = self.p_x_joint(jnp.concatenate([h1, h2], axis=-1))
-        x_mean = self.p_x_mean_head(h).astype(jnp.float32)
-        if self.cfg.input_type == "binary":
-            x_logvar = jnp.zeros_like(x_mean)
-        else:
-            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = self.p_x_logvar_head(h).astype(jnp.float32)
+        x_mean, x_logvar = likelihood_params(
+            self.p_x_mean_head(h).astype(jnp.float32),
+            lambda: self.p_x_logvar_head(h), self.cfg.input_type)
         shape = (z1.shape[0],) + tuple(self.cfg.input_size[1:]) + (self.cfg.input_size[0],)
         return x_mean.reshape(shape), x_logvar.reshape(shape)
 

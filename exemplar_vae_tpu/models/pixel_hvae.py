@@ -28,15 +28,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from exemplar_vae_tpu.config import Config
-from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.base import (ForwardOut, PriorMixin,
+                                          likelihood_params,
+                                          reparameterize)
+from exemplar_vae_tpu.models.hvae import TwoLevelMLPCore
 from exemplar_vae_tpu.models.layers import (
-    GatedDense,
     MaskedConv2d,
-    NonLinear,
     compute_dtype,
     p_logvar_activation,
-    q_logvar_activation,
-    q_logvar_activation_for,
 )
 from exemplar_vae_tpu.ops.distributions import log_normal_diag
 
@@ -45,32 +44,17 @@ from exemplar_vae_tpu.ops.distributions import log_normal_diag
 # upstream PixelCNN — round-2 VERDICT weak #6 — is a config edit)
 
 
-class PixelHVAE(nn.Module, PriorMixin):
+class PixelHVAE(nn.Module, TwoLevelMLPCore, PriorMixin):
     cfg: Config
 
     def setup(self):
         cfg = self.cfg
-        h = cfg.hidden_size
         dt = compute_dtype(cfg)
         c_in, ih, iw = cfg.input_size
         self._hw = (ih, iw)
-        # inference nets: same gated-dense structure as HVAE (the reference
-        # PixelHVAE reuses its HVAE encoder [U])
-        self.q_z2_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
-        self.q_z2_mean_head = nn.Dense(cfg.z2_size, dtype=dt)
-        self.q_z2_logvar_head = NonLinear(cfg.z2_size, q_logvar_activation_for(cfg),
-                                          dtype=dt)
-        self.q_z1_x = GatedDense(h, dtype=dt)
-        self.q_z1_z2 = GatedDense(h, dtype=dt)
-        self.q_z1_joint = GatedDense(h, dtype=dt)
-        self.q_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.q_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation_for(cfg),
-                                          dtype=dt)
-        # p(z1 | z2)
-        self.p_z1_layers = [GatedDense(h, dtype=dt), GatedDense(h, dtype=dt)]
-        self.p_z1_mean_head = nn.Dense(cfg.z1_size, dtype=dt)
-        self.p_z1_logvar_head = NonLinear(cfg.z1_size, q_logvar_activation,
-                                          dtype=dt)
+        # inference nets + p(z1|z2): shared with HVAE (the reference
+        # PixelHVAE reuses its HVAE encoder [U]) — models/hvae.py
+        self._setup_two_level_mlp()
         # p(x | x_<i, z1, z2): latent context map + masked PixelCNN stack
         pf = cfg.pixelcnn_features
         self.ctx_proj = nn.Dense(ih * iw * pf, dtype=dt)
@@ -84,38 +68,6 @@ class PixelHVAE(nn.Module, PriorMixin):
             self.p_x_logvar_head = nn.Conv(c_in, (1, 1), dtype=dt)
         self._setup_prior()
 
-    # --- inference net (same as HVAE) ---
-    def encode_top(self, x):
-        h = x.reshape(x.shape[0], -1)
-        for layer in self.q_z2_layers:
-            h = layer(h)
-        return (self.q_z2_mean_head(h).astype(jnp.float32),
-                self.q_z2_logvar_head(h).astype(jnp.float32))
-
-    def encode_top_mean(self, x):
-        return self.encode_top(x)[0]
-
-    def q_z1_cache(self, x):
-        return self.q_z1_x(x.reshape(x.shape[0], -1))
-
-    def q_z1_from_cache(self, hx, z2):
-        hz = self.q_z1_z2(z2)
-        h = self.q_z1_joint(jnp.concatenate([hx.astype(hz.dtype), hz],
-                                            axis=-1))
-        return (self.q_z1_mean_head(h).astype(jnp.float32),
-                self.q_z1_logvar_head(h).astype(jnp.float32))
-
-    def q_z1(self, x, z2):
-        return self.q_z1_from_cache(self.q_z1_cache(x), z2)
-
-    # --- generative net ---
-    def p_z1(self, z2):
-        h = z2
-        for layer in self.p_z1_layers:
-            h = layer(h)
-        return (self.p_z1_mean_head(h).astype(jnp.float32),
-                self.p_z1_logvar_head(h).astype(jnp.float32))
-
     def decode(self, x, z1, z2):
         """Teacher-forced autoregressive likelihood params: causal in x by
         mask construction; fully parallel over pixels."""
@@ -125,15 +77,15 @@ class PixelHVAE(nn.Module, PriorMixin):
         h = self.pix_in(x) + ctx
         for layer in self.pix_layers:
             h = layer(jax.nn.relu(h)) + ctx
-        h = jax.nn.relu(h)
-        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
-        if self.cfg.input_type == "binary":
-            x_logvar = jnp.zeros_like(x_mean)
-        else:
-            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = p_logvar_activation(
-                self.p_x_logvar_head(h)).astype(jnp.float32)
-        return x_mean, x_logvar
+        return self._pix_heads(jax.nn.relu(h))
+
+    def _pix_heads(self, h):
+        """Likelihood heads over masked-stack features (shared by the
+        full-canvas and receptive-field-crop passes)."""
+        return likelihood_params(
+            jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32),
+            lambda: p_logvar_activation(self.p_x_logvar_head(h)),
+            self.cfg.input_type)
 
     def __call__(self, x, key):
         k2, k1 = jax.random.split(key)
@@ -163,15 +115,7 @@ class PixelHVAE(nn.Module, PriorMixin):
         h = self.pix_in(crop) + ctx_crop
         for layer in self.pix_layers:
             h = layer(jax.nn.relu(h) * valid) + ctx_crop
-        h = jax.nn.relu(h)
-        x_mean = jax.nn.sigmoid(self.p_x_mean_head(h)).astype(jnp.float32)
-        if self.cfg.input_type == "binary":
-            x_logvar = jnp.zeros_like(x_mean)
-        else:
-            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = p_logvar_activation(
-                self.p_x_logvar_head(h)).astype(jnp.float32)
-        return x_mean, x_logvar
+        return self._pix_heads(jax.nn.relu(h))
 
     def _sample_pixel(self, x_mean, i, k_pix, b, c_in):
         if self.cfg.input_type == "binary":

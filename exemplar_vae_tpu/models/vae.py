@@ -12,7 +12,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from exemplar_vae_tpu.config import Config
-from exemplar_vae_tpu.models.base import ForwardOut, PriorMixin, reparameterize
+from exemplar_vae_tpu.models.base import (ForwardOut, PriorMixin,
+                                          likelihood_params,
+                                          reparameterize)
 from exemplar_vae_tpu.models.layers import (
     GatedDense,
     NonLinear,
@@ -56,14 +58,9 @@ class VAE(nn.Module, PriorMixin):
         h = z
         for layer in self.p_layers:
             h = layer(h)
-        x_mean = self.p_mean_head(h).astype(jnp.float32)
-        if self.cfg.input_type == "binary":
-            x_logvar = jnp.zeros_like(x_mean)
-        else:
-            # gray/continuous: clamp mean into [1/512, 1 - 1/512] like the
-            # reference does for logistic-256 means [U]
-            x_mean = jnp.clip(x_mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-            x_logvar = self.p_logvar_head(h).astype(jnp.float32)
+        x_mean, x_logvar = likelihood_params(
+            self.p_mean_head(h).astype(jnp.float32),
+            lambda: self.p_logvar_head(h), self.cfg.input_type)
         shape = (z.shape[0],) + tuple(self.cfg.input_size[1:]) + (self.cfg.input_size[0],)
         return x_mean.reshape(shape), x_logvar.reshape(shape)
 
