@@ -66,23 +66,18 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
     return ips, dps, dt / timed_steps, float(metrics["loss"])
 
 
-def baseline_images_per_sec(n_exemplars,
-                            cache_path="bench_baseline_cache.json"):
+def baseline_images_per_sec(n_exemplars):
     """torch-cpu baseline at the SAME exemplar count as the measured run
     (a mismatched N would skew vs_baseline ~linearly in N)."""
+    from tools.torch_reference_baseline import (
+        baseline_cache_get, baseline_cache_put, measure_torch_baseline)
     key = f"torch_cpu_images_per_sec_N{n_exemplars}"
-    cache = {}
-    if os.path.exists(cache_path):
-        with open(cache_path) as f:
-            cache = json.load(f)
-        if key in cache:
-            return cache[key]
-    from tools.torch_reference_baseline import measure_torch_baseline
+    cached = baseline_cache_get(key)
+    if cached is not None:
+        return cached
     # >=20 timed steps, batch-only binarization (VERDICT r1 item 8)
     ips = measure_torch_baseline(n_exemplars=n_exemplars, steps=20, warmup=3)
-    cache[key] = ips
-    with open(cache_path, "w") as f:
-        json.dump(cache, f)
+    baseline_cache_put(key, ips)
     return ips
 
 

@@ -16,31 +16,12 @@ import sys
 import time
 
 
-BASELINE_CACHE = "bench_baseline_cache.json"
-
-
-def _cache():
-    import json as _json
-    import os as _os
-    if _os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            return _json.load(f)
-    return {}
-
-
-def _cache_put(key, val):
-    import json as _json
-    c = _cache()
-    c[key] = val
-    with open(BASELINE_CACHE, "w") as f:
-        _json.dump(c, f, indent=1)
-
-
-def torch_baseline_for(label, cfg_kw):
+def torch_baseline_for(cfg_kw):
     """Per-config torch-CPU baseline (cached). VERDICT r1 item 8: every
     BENCH_extra row gets a vs_baseline; exact-conv rows use a documented
     linear-in-N extrapolation (tools/torch_reference_baseline.py)."""
     from tools.torch_reference_baseline import (
+        baseline_cache_get, baseline_cache_put,
         extrapolated_exact_baseline, measure_torch_config)
     n = cfg_kw.get("number_components", 0)
     model = cfg_kw.get("model_name", "vae")
@@ -52,9 +33,9 @@ def torch_baseline_for(label, cfg_kw):
              else "gray" if "gray" in ds else "binary")
     key = (f"{model}_{prior}_N{n}_approx{int(approx)}"
            f"_k{cfg_kw.get('approximate_k', 0)}_{itype}")
-    c = _cache()
-    if key in c:
-        return c[key], None
+    cached = baseline_cache_get(key)
+    if cached is not None:
+        return cached, baseline_cache_get(key + "_detail")
     detail = None
     if model == "convhvae_2level" and not approx:
         ips, detail = extrapolated_exact_baseline(shape, itype, n)
@@ -69,9 +50,9 @@ def torch_baseline_for(label, cfg_kw):
         kw.update(dict(min_steps=5 if slow else 20, warmup=1 if slow else 3,
                        budget_s=240.0))
         ips, _ = measure_torch_config(**kw)
-    _cache_put(key, ips)
+    baseline_cache_put(key, ips)
     if detail:
-        _cache_put(key + "_detail", detail)
+        baseline_cache_put(key + "_detail", detail)
     return ips, detail
 
 
@@ -89,6 +70,22 @@ def measure(cfg_kw, timed_steps, label):
                                 steps=steps, batch=cfg.batch_size)
     from exemplar_vae_tpu.train.profiling import fetch_sync
     beta = jnp.float32(1.0)
+    refresh_s = 0.0
+    if cfg.approximate_prior:
+        # real training kNN-selects over a cache refreshed once per epoch
+        # (trainer.py) — benching against the all-zeros init cache would
+        # time degenerate tie-broken gathers and report a loss real
+        # training never produces; refresh first and charge the refresh's
+        # per-epoch amortized cost to the step
+        ck = jax.random.fold_in(exp.key, 99)
+        cache = exp.cache_refresh(exp.state.params, exp.bank.images, ck)
+        fetch_sync(cache)  # compile
+        t0 = time.perf_counter()
+        cache = exp.cache_refresh(exp.state.params, exp.bank.images,
+                                  jax.random.fold_in(ck, 1))
+        fetch_sync(cache)
+        refresh_s = time.perf_counter() - t0
+        exp.bank = exp.bank._replace(cache_means=cache)
     st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
@@ -96,13 +93,24 @@ def measure(cfg_kw, timed_steps, label):
                          jax.random.fold_in(ekey, 2), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = time.perf_counter() - t0
-    ips = steps * cfg.batch_size / dt
+    raw_ms = dt / steps * 1e3
+    # effective step cost = raw step + the per-epoch cache refresh
+    # amortized over a real epoch's steps
+    amort_ms = refresh_s * 1e3 / exp.steps_per_epoch
+    eff_ms = raw_ms + amort_ms
+    ips = cfg.batch_size / (eff_ms / 1e3)
     n_ex = cfg.number_components if cfg.prior == "exemplar_prior" else 0
-    dps = ips * (cfg.approximate_k if cfg.approximate_prior else n_ex)
+    # distances/s: approximate steps STILL sweep all N cached means per
+    # query in the kNN search (ops/knn.py), so N per image for both modes
+    # — using k here would understate approximate rows ~N/k-fold and make
+    # the KPI incomparable across rows
+    dps = ips * n_ex
     row = {
         "config": label,
         "images_per_sec_per_chip": round(ips, 1),
-        "ms_per_step": round(dt / steps * 1e3, 3),
+        "ms_per_step": round(eff_ms, 3),
+        "ms_per_step_raw": round(raw_ms, 3),
+        "cache_refresh_ms_amortized": round(amort_ms, 3) or None,
         "exemplar_distances_per_sec": None if not n_ex else round(dps),
         "loss": round(float(m["loss"]), 2),
         "batch": cfg.batch_size,
@@ -169,7 +177,7 @@ def main(argv=None):
             cfg_steps = 10 if label.startswith("4:") else steps
             row = measure(kw, cfg_steps, label)
             try:
-                base, detail = torch_baseline_for(label, kw)
+                base, detail = torch_baseline_for(kw)
                 row["torch_cpu_images_per_sec"] = round(base, 2)
                 row["vs_baseline"] = round(
                     row["images_per_sec_per_chip"] / base, 1)

@@ -100,6 +100,11 @@ long idx_parse(const char* path, int* ndim_out, long* dims_out,
     if (std::fread(hdr, 1, 4, f) != 4 || hdr[0] != 0 || hdr[1] != 0) {
         std::fclose(f); return -1;
     }
+    // dtype code must be 0x08 (unsigned byte): any other IDX dtype would
+    // be silently parsed as uint8 garbage (total=prod(dims) bytes of a
+    // payload elem_size x larger) — the python fallback raises on the
+    // reshape instead, and the fast path must not be more permissive
+    if (hdr[2] != 0x08) { std::fclose(f); return -1; }
     int ndim = hdr[3];
     if (ndim < 1 || ndim > 4) { std::fclose(f); return -1; }
     long total = 1;

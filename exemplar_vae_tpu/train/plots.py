@@ -15,6 +15,12 @@ def make_grid(images: np.ndarray, ncol: int = None) -> np.ndarray:
     """(N, H, W, C) floats [0,1] -> (GH, GW, C) grid with 2px separators."""
     images = np.asarray(images, np.float32)
     n, h, w, c = images.shape
+    if n == 0:
+        # empty batch -> 1-cell blank grid (artifact writing must never
+        # crash a finished run on a zero-sample config)
+        return np.ones((h + 4, w + 4, c), np.float32)
+    if ncol is not None and ncol < 1:
+        raise ValueError(f"ncol must be >= 1, got {ncol}")
     ncol = ncol or int(math.ceil(math.sqrt(n)))
     nrow = int(math.ceil(n / ncol))
     pad = 2

@@ -62,6 +62,34 @@ def test_idx_native_and_gz_fallback(tmp_path):
     np.testing.assert_array_equal(got_gz, arr)
 
 
+def test_idx_non_ubyte_dtype_rejected(tmp_path):
+    """An IDX file whose dtype code is not 0x08 (e.g. 0x0C = int32) must be
+    REJECTED by the native parser, never silently parsed as uint8 garbage
+    (total=prod(dims) bytes of a 4x-larger payload — the python fallback
+    raises on reshape; the fast path must not be more permissive)."""
+    from exemplar_vae_tpu.data.native_ingest import load_idx
+    if native_ingest._load() is None:
+        pytest.skip("native lib unavailable")
+    arr = np.arange(6, dtype=">i4")
+    p = tmp_path / "ints-idx1-int32"
+    with open(p, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x0C, 1))
+        f.write(struct.pack(">I", 6))
+        f.write(arr.tobytes())
+    assert load_idx(str(p)) is None
+
+
+def test_make_grid_empty_batch_and_bad_ncol():
+    """Artifact writing must never crash a finished run: an empty image
+    batch yields a blank grid instead of a ZeroDivisionError, and an
+    explicit ncol=0 errors instead of being silently coerced to auto."""
+    from exemplar_vae_tpu.train.plots import make_grid
+    g = make_grid(np.zeros((0, 4, 4, 1), np.float32))
+    assert g.shape == (8, 8, 1) and np.isfinite(g).all()
+    with pytest.raises(ValueError, match="ncol"):
+        make_grid(np.zeros((3, 4, 4, 1), np.float32), ncol=0)
+
+
 def test_static_mnist_loader_uses_amat(tmp_path, monkeypatch):
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.data.loaders import load_dataset

@@ -57,7 +57,12 @@ PROTOCOL = {
               cfg=dict(dataset_name="fashion_mnist",
                        model_name="convhvae_2level", prior="exemplar_prior",
                        approximate_prior=True, approximate_k=10)),
-    "4": dict(label="ConvHVAE_2level + CelebA, continuous, exact sharded bank",
+    # training mode is approximate-kNN (the paper's large-data mode, §3.2);
+    # EVAL is always the full-bank exact prior. Whether the reference's
+    # CelebA TRAINING runs exact or approximate is a session-0 checklist
+    # item — if it trains exact, drop the two approximate_* keys here.
+    "4": dict(label="ConvHVAE_2level + CelebA, continuous, approximate-kNN "
+                    "K=10 training / full-bank exact eval (sharded-capable)",
               cfg=dict(dataset_name="celeba", model_name="convhvae_2level",
                        prior="exemplar_prior", approximate_prior=True,
                        approximate_k=10)),
@@ -81,6 +86,8 @@ SESSION0_CHECKLIST = [
     "prior variance init / learned-sigma^2 conventions "
     "(prior_variance_init, clamp bounds)",
     "number_components: full train set vs a subset in the paper runs",
+    "CelebA TRAINING prior mode: approximate-kNN (paper large-data mode, "
+    "assumed here) vs exact full-bank — flip PROTOCOL['4'] if exact",
 ]
 
 
@@ -204,7 +211,21 @@ def main(argv=None):
     ns = p.parse_args(argv)
 
     ready = readiness(ns.data_dir)
+    # merge with an existing report so multi-day subset invocations
+    # accumulate: `--configs 1` (days of training) then `--configs 5`
+    # must find config 1's row on disk, and a crash mid-protocol must
+    # not discard completed configs (the report is re-written after
+    # EVERY config below)
     report = {"readiness": ready, "smoke": ns.smoke, "configs": {}}
+    if os.path.exists(ns.out):
+        try:
+            with open(ns.out) as f:
+                prev = json.load(f)
+            if prev.get("smoke") == ns.smoke:
+                report["configs"].update(prev.get("configs", {}))
+        except (ValueError, OSError) as e:
+            print(f"WARNING: existing {ns.out} unreadable ({e}); starting "
+                  "a fresh report")
     if ready["reference_mount_files"]:
         print(f"reference mount HAS {ready['reference_mount_files']} files — "
               "run the session-0 checklist BEFORE trusting deltas:")
@@ -220,19 +241,30 @@ def main(argv=None):
     unknown = [k for k in keys if k not in PROTOCOL]
     if unknown:
         raise SystemExit(f"unknown configs {unknown}; valid: {list(PROTOCOL)}")
+    def _flush():
+        tmp = ns.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(tmp, ns.out)
+
     for key in keys:
         if key == "5":
             continue  # after the model runs (needs config 1's snapshot)
         print(f"=== config {key}: {PROTOCOL[key]['label']}")
-        report["configs"][key] = run_model_config(key, ns)
+        try:
+            report["configs"][key] = run_model_config(key, ns)
+        except Exception as e:  # one failed config must not lose the rest
+            report["configs"][key] = {"label": PROTOCOL[key]["label"],
+                                      "status": f"error: {e!r}"}
         print(json.dumps(report["configs"][key], indent=1))
+        _flush()
     if "5" in keys:
         print(f"=== config 5: {PROTOCOL['5']['label']}")
         report["configs"]["5"] = run_classifier_config(ns, report)
         print(json.dumps(report["configs"]["5"], indent=1))
+        _flush()
 
-    with open(ns.out, "w") as f:
-        json.dump(report, f, indent=1)
+    _flush()
     print("wrote", ns.out)
     return report
 

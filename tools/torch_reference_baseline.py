@@ -37,6 +37,34 @@ import math
 import time
 
 
+BASELINE_CACHE = "bench_baseline_cache.json"
+
+
+def baseline_cache_get(key, path=BASELINE_CACHE):
+    """Shared torch-CPU baseline cache (bench.py + bench_all.py write the
+    SAME file — one read/write implementation so the format can't fork)."""
+    import json
+    import os
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh).get(key)
+    return None
+
+
+def baseline_cache_put(key, val, path=BASELINE_CACHE):
+    import json
+    import os
+    cache = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            cache = json.load(fh)
+    cache[key] = val
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cache, fh, indent=1)
+    os.replace(tmp, path)
+
+
 def _build_torch_models(model_name, d_shape, hidden, z1, z2, input_type):
     import torch
 
