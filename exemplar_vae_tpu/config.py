@@ -132,6 +132,10 @@ class Config:
     checkpoint_every: int = 0            # epochs; 0 = only best/final
     checkpoint_backend: str = "npz"      # npz (simple) | orbax (async, multi-host)
     resume: bool = False
+    eval_only: bool = False              # restore a checkpoint, skip
+                                         # training, run final_evaluation
+                                         # (re-score at a different --S
+                                         # without retraining)
     debug_nans: bool = False             # NaN sanitizer (jax_debug_nans)
     profile_epoch: int = 0               # capture a jax.profiler trace of this epoch
 
@@ -184,7 +188,7 @@ class Config:
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
         "prior_block_n", "exact_reencode_chunk", "exact_remat", "donate_state",
         "data_dir", "snapshot_dir", "checkpoint_every", "checkpoint_backend",
-        "resume", "debug_nans", "profile_epoch",
+        "resume", "eval_only", "debug_nans", "profile_epoch",
     })
 
     def experiment_name(self) -> str:
@@ -295,10 +299,15 @@ def reference_arg_parser():
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--data_dir", type=str, default=d.data_dir)
     p.add_argument("--snapshot_dir", type=str, default=d.snapshot_dir)
+    p.add_argument("--val_set_size", type=int, default=d.val_set_size)
+    p.add_argument("--test_set_size", type=int, default=d.test_set_size)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--checkpoint_backend", type=str,
                    default=d.checkpoint_backend, choices=["npz", "orbax"])
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval_only", action="store_true",
+                   help="restore the final/last checkpoint, skip training, "
+                        "run the final IWAE eval + artifacts (honors --S)")
     p.add_argument("--debug_nans", action="store_true",
                    help="raise at the op producing any NaN inside jit")
     p.add_argument("--profile_epoch", type=int, default=0,
@@ -340,6 +349,8 @@ def config_from_args(ns) -> Config:
         MB=ns.MB,
         seed=ns.seed,
         training_set_size=ns.training_set_size,
+        val_set_size=ns.val_set_size,
+        test_set_size=ns.test_set_size,
         compute_dtype=ns.compute_dtype,
         use_pallas_prior=not ns.no_pallas,
         data_dir=ns.data_dir,
@@ -347,6 +358,7 @@ def config_from_args(ns) -> Config:
         checkpoint_every=ns.checkpoint_every,
         checkpoint_backend=ns.checkpoint_backend,
         resume=ns.resume,
+        eval_only=ns.eval_only,
         debug_nans=ns.debug_nans,
         profile_epoch=ns.profile_epoch,
     )

@@ -19,6 +19,22 @@ def main(argv=None):
 
     from exemplar_vae_tpu.train.trainer import Experiment
     exp = Experiment(cfg)
+    if cfg.eval_only:
+        # score an existing run without training: restore (preferring the
+        # final checkpoint — its best_params drove the reported numbers),
+        # then run the full final evaluation (IWAE at cfg.S + artifacts)
+        for tag in ("final", "last"):
+            if exp.restore_checkpoint(tag):
+                print(f"eval_only: restored ckpt_{tag} (epoch {exp.epoch})")
+                break
+        else:
+            raise SystemExit(
+                f"--eval_only: no restorable checkpoint (ckpt_final or "
+                f"ckpt_last) under {exp.exp_dir}")
+        print(f"experiment dir: {exp.exp_dir}")
+        results = exp.final_evaluation()
+        print(json.dumps(results))
+        return results
     if cfg.resume:
         if exp.restore_checkpoint():
             print(f"resumed from epoch {exp.epoch}")

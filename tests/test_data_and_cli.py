@@ -97,6 +97,33 @@ def test_omniglot_from_chardata_mat(tmp_path):
     # covers the shared reshape path)
 
 
+def test_eval_only_rescoring_matches_training_run(tmp_path):
+    """--eval_only restores the final checkpoint, skips training, and
+    reproduces the training run's final_evaluation exactly (the final-eval
+    key derives from cfg.seed, so re-scoring is deterministic); it honors
+    --S overrides and fails loudly with no checkpoint."""
+    import main as main_mod
+    args = ["--dataset_name", "synthetic", "--training_set_size", "96",
+            "--number_components", "96", "--val_set_size", "32",
+            "--test_set_size", "32", "--batch_size", "32",
+            "--epochs", "1", "--warmup", "1", "--S", "4", "--MB", "4",
+            "--hidden_size", "16", "--z1_size", "4",
+            "--snapshot_dir", str(tmp_path / "snap")]
+    trained = main_mod.main(args)
+    rescored = main_mod.main(args + ["--eval_only"])
+    assert rescored["test_nll"] == pytest.approx(trained["test_nll"],
+                                                 rel=1e-6)
+    assert rescored["best_val_loss"] == pytest.approx(
+        trained["best_val_loss"], rel=1e-6)
+    # a different S re-scores (different estimate, still finite)
+    s8 = main_mod.main(args + ["--eval_only", "--S", "8"])
+    assert np.isfinite(s8["test_nll"])
+    # no checkpoint -> loud failure
+    with pytest.raises(SystemExit, match="no restorable checkpoint"):
+        main_mod.main(args + ["--eval_only",
+                              "--snapshot_dir", str(tmp_path / "empty")])
+
+
 def test_celeba_from_npz_triple(tmp_path):
     rng = np.random.default_rng(2)
     for s, n in (("train", 60), ("valid", 10), ("test", 12)):
