@@ -60,6 +60,42 @@ def test_sharded_matches_oracle_with_grads(setup):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_sharded_prior_comm_pattern_is_allreduce_only(setup):
+    """Pin the COMMUNICATION pattern, not just the numerics: the compiled
+    sharded exact prior (forward + backward) must combine shards purely
+    with all-reduces — the log-space (pmax, psum) LSE merge and the
+    replicated-parameter gradient reduction — and must contain NO
+    all-gather / all-to-all / collective-permute / reduce-scatter. Nothing
+    bank-sized ever crosses the interconnect: an XLA regression (or a
+    future sharding edit) that falls back to gathering the bank to every
+    device would show up here as a new collective op long before it showed
+    up as an ICI bottleneck on real hardware."""
+    import re
+    cfg, mesh, m, v, bank_imgs, bank, n = setup
+    prior_fn = make_sharded_exact_prior(m, cfg, mesh)
+    z = jax.random.normal(jax.random.PRNGKey(2), (16, cfg.z1_size))
+    loo = jnp.arange(16, dtype=jnp.int32)
+    ld = jnp.log(float(n - 1))
+
+    def f(v, z):
+        return jnp.sum(prior_fn(v, z, loo, bank, ld))
+
+    hlo = jax.jit(jax.value_and_grad(f, argnums=(0, 1))).lower(v, z)\
+        .compile().as_text()
+    banned = re.findall(
+        r"(all-gather|all-to-all|collective-permute|reduce-scatter)\(", hlo)
+    assert not banned, f"unexpected collectives in sharded prior: {banned}"
+    # every all-reduce moves batch-sized (B,) partials or parameter-sized
+    # gradients — never anything with a bank-image-sized operand
+    bank_elems = int(np.prod(bank.images.shape))
+    ar_lines = [l for l in hlo.splitlines() if " all-reduce(" in l]
+    assert ar_lines, "expected all-reduce combines in the compiled prior"
+    for line in ar_lines:
+        for dims in re.findall(r"\w+\[([0-9,]+)\]", line):
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            assert elems < bank_elems, f"bank-sized all-reduce: {line[:160]}"
+
+
 def test_end_to_end_sharded_equals_single_device_epoch(eight_devices, tmp_path):
     """One epoch on the 8-device mesh == one epoch on 1 device, bitwise-ish.
 

@@ -107,10 +107,32 @@ def test_conv_gray_logistic256_trajectory_matches_torch(tmp_path):
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
 
 
+def test_pixel_trajectory_matches_torch(tmp_path):
+    """PixelHVAE end-to-end (the lineage's fourth family): pins the
+    PixelCNN conventions no other twin touches — the causal-mask layout
+    (type 'A' 5x5 input layer excludes the center pixel, type 'B' 3x3
+    stack includes it; all rows below blocked), the additive latent
+    context map ctx_proj(z1||z2) applied at EVERY layer, relu placement
+    (between layers and before the heads, not on the pixel input), and
+    teacher forcing (one parallel masked pass). AdamNormGrad mode, so the
+    HVAE test's chaos-envelope tolerances apply; the variance-reduced
+    parametrized case below asserts the tight bound (measured 6.7e-4
+    nats / 6.9e-5 params with adam at this scale)."""
+    out = run_parity(epochs=3, n_train=256, val=64, test=32, hidden=32, z=8,
+                     batch=64, warmup=2, S=8, MB=4, seed=7,
+                     model_name="pixelhvae_2level",
+                     snapshot_dir=str(tmp_path), verbose=False)
+    assert out["max_val_diff"] < 1e-1, out
+    assert out["nll_diff"] < 1e-1, out
+    assert out["max_param_diff"] < 3e-2, out
+    assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
+
+
 @pytest.mark.parametrize("model_name,prior,param_tol", [
     ("vae", "exemplar_prior", 1e-5),
     ("hvae_2level", "exemplar_prior", 1e-5),
     ("vae", "vampprior", 1e-2),  # pseudo-input pixels take large raw grads
+    ("pixelhvae_2level", "exemplar_prior", 1e-3),
 ])
 def test_variance_reduced_trajectories_tight(tmp_path, model_name, prior,
                                              param_tol):

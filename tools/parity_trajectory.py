@@ -53,16 +53,19 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                optimizer="adam_norm_grad", input_type="binary",
                conv_enc_spec="8k7s1,8k3s2,16k5s1,16k3s2",
                conv_dec_spec="t16k3s2,t8k3s2,c8k3s1", conv_proj_channels=16,
+               pixelcnn_features=8, pixelcnn_layers=2,
                verbose=True):
     """-> dict with per-epoch val losses for both frameworks + final diffs.
 
     model_name: 'vae' (single level), 'hvae_2level' (2-level factorization
-    — covers the level-1 sampled-KL conventions with TorchTwinHVAE), or
+    — covers the level-1 sampled-KL conventions with TorchTwinHVAE),
     'convhvae_2level' (TorchTwinConvHVAE — pins SAME-padding conv,
     transpose-conv output semantics, NHWC flatten order, and with
-    input_type='gray' the logistic-256 conv head). The conv spec defaults
-    mirror the default architecture's kernel/stride pattern at reduced
-    channels (CPU-feasible).
+    input_type='gray' the logistic-256 conv head), or 'pixelhvae_2level'
+    (TorchTwinPixelHVAE — pins the PixelCNN causal-mask layout, the
+    additive latent context map, relu placement, and teacher forcing).
+    The conv spec defaults mirror the default architecture's kernel/stride
+    pattern at reduced channels (CPU-feasible).
     prior: 'exemplar_prior' or 'vampprior' (TorchTwinVamp — pseudo-input
     mixture with per-component diagonal variances, data-seeded init).
     optimizer: 'adam_norm_grad' (reference) or 'adam' — the
@@ -76,10 +79,11 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
     from tools.torch_twin import (TorchTwin, TorchTwinConvHVAE, TorchTwinHVAE,
-                                  TorchTwinVamp, _flatten)
+                                  TorchTwinPixelHVAE, TorchTwinVamp, _flatten)
 
     tmp = snapshot_dir or tempfile.mkdtemp(prefix="parity_")
     conv = model_name == "convhvae_2level"
+    pixel = model_name == "pixelhvae_2level"
     dataset = {"binary": "synthetic", "gray": "synthetic_gray"}[input_type]
     cfg = Config(dataset_name=dataset, dynamic_binarization_override=False,
                  training_set_size=n_train, val_set_size=val,
@@ -91,6 +95,8 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                  hidden_size=hidden, optimizer=optimizer,
                  conv_enc_spec=conv_enc_spec, conv_dec_spec=conv_dec_spec,
                  conv_proj_channels=conv_proj_channels,
+                 pixelcnn_features=pixelcnn_features,
+                 pixelcnn_layers=pixelcnn_layers,
                  z1_size=z, z2_size=z, batch_size=batch, test_batch_size=val,
                  warmup=warmup, epochs=epochs, early_stopping_epochs=epochs + 1,
                  S=S, MB=MB, seed=seed, use_pallas_prior=False,
@@ -123,6 +129,12 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
             input_size=cfg.input_size, input_type=cfg.input_type,
             enc_spec=cfg.conv_enc_spec, dec_spec=cfg.conv_dec_spec,
             proj_channels=cfg.conv_proj_channels)
+    elif pixel:
+        twin = TorchTwinPixelHVAE(
+            init_params, lr=cfg.lr, norm_grads=norm_grads,
+            input_size=cfg.input_size, input_type=cfg.input_type,
+            pixelcnn_features=cfg.pixelcnn_features,
+            pixelcnn_layers=cfg.pixelcnn_layers)
     else:
         twin_cls = (TorchTwinVamp if prior == "vampprior"
                     else TorchTwinHVAE if two_level else TorchTwin)

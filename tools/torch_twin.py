@@ -312,7 +312,64 @@ class TorchTwinHVAE(TorchTwin):
         return self._re_bernoulli(x2d, self.decode_probs(z1, z2))
 
 
-class TorchTwinConvHVAE(TorchTwinHVAE):
+class _ConvOpsMixin:
+    """Shared torch re-expressions of the flax conv primitives (SAME
+    padding, NHWC flatten order, the logistic-256 likelihood) used by the
+    conv-family twins. Requires `self.h/self.w/self.c` (image dims),
+    `self.torch`, and the flat param dict `self.p`."""
+
+    def _to_nchw(self, x2d):
+        return x2d.reshape(-1, self.h, self.w, self.c).permute(0, 3, 1, 2)
+
+    def _nchw_flat(self, x):
+        """NCHW -> flax's NHWC flatten order."""
+        return x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+
+    def _conv_raw(self, x, w, b, stride):
+        F = self.torch.nn.functional
+        k = w.shape[0]                        # flax layout (kh, kw, in, out)
+
+        def pads(n):
+            total = max((-(-n // stride) - 1) * stride + k - n, 0)
+            return total // 2, total - total // 2
+        ph, pw = pads(x.shape[2]), pads(x.shape[3])
+        x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+        return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=stride)
+
+    def _conv(self, x, name, stride):
+        return self._conv_raw(x, self.p[f"{name}/kernel"],
+                              self.p[f"{name}/bias"], stride)
+
+    def _log_logistic_256(self, x, mean, logvar):
+        torch = self.torch
+        bin_size = 1.0 / 256.0
+        scale = torch.exp(logvar)
+        xs = (torch.floor(x / bin_size) * bin_size - mean) / scale
+        cdf_plus = torch.sigmoid(xs + bin_size / scale)
+        cdf_minus = torch.sigmoid(xs)
+        return torch.log(cdf_plus - cdf_minus + 1e-7).sum(-1)
+
+    def _likelihood_heads(self, h):
+        """1x1/stride-1 conv likelihood heads with the shared clamps
+        (models/base.py::likelihood_params): sigmoid mean; for continuous
+        inputs the mean is clipped to [1/512, 1-1/512] and the log-var
+        head is hardtanh'd to [-4.5, 0]. -> (mean2d, logvar2d_or_None)."""
+        torch = self.torch
+        mean = torch.sigmoid(self._conv(h, "p_x_mean_head", 1))
+        if self.input_type == "binary":
+            return self._nchw_flat(mean), None
+        mean = torch.clamp(mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
+        logvar = torch.clamp(self._conv(h, "p_x_logvar_head", 1), -4.5, 0.0)
+        return self._nchw_flat(mean), self._nchw_flat(logvar)
+
+    def _recon(self, x2d, z1, z2):
+        mean, logvar = self.decode_out(x2d, z1, z2)
+        if self.input_type == "binary":
+            return self._re_bernoulli(x2d, mean)
+        return self._log_logistic_256(x2d, mean, logvar)
+
+
+class TorchTwinConvHVAE(_ConvOpsMixin, TorchTwinHVAE):
     """Trainable torch twin of the 2-level ConvHVAE (models/conv_hvae.py).
 
     Pins the conv conventions the flagship parity configs (3: ConvHVAE
@@ -356,28 +413,6 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
         super().__init__(flax_params, lr=lr, **kw)
 
     # ---------------- conv primitives (flax semantics, torch autograd) ----
-    def _to_nchw(self, x2d):
-        return x2d.reshape(-1, self.h, self.w, self.c).permute(0, 3, 1, 2)
-
-    def _nchw_flat(self, x):
-        """NCHW -> flax's NHWC flatten order."""
-        return x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
-
-    def _conv_raw(self, x, w, b, stride):
-        F = self.torch.nn.functional
-        k = w.shape[0]                        # flax layout (kh, kw, in, out)
-
-        def pads(n):
-            total = max((-(-n // stride) - 1) * stride + k - n, 0)
-            return total // 2, total - total // 2
-        ph, pw = pads(x.shape[2]), pads(x.shape[3])
-        x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
-        return F.conv2d(x, w.permute(3, 2, 0, 1), b, stride=stride)
-
-    def _conv(self, x, name, stride):
-        return self._conv_raw(x, self.p[f"{name}/kernel"],
-                              self.p[f"{name}/bias"], stride)
-
     def _conv_t_raw(self, x, w, b, stride):
         F = self.torch.nn.functional
         k = w.shape[0]                        # (kh, kw, in, out)
@@ -438,8 +473,10 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
         return mean, logvar
 
     # ---------------- generative net --------------------------------------
-    def decode_out(self, z1, z2):
-        """-> (x_mean, x_logvar_or_None), flattened in NHWC order."""
+    def decode_out(self, x2d, z1, z2):
+        """-> (x_mean, x_logvar_or_None), flattened in NHWC order.
+        `x2d` is unused (non-autoregressive decoder) — the signature is the
+        `_ConvOpsMixin._recon` contract shared with the PixelCNN twin."""
         torch = self.torch
         h1 = self._gated(z1, "p_x_z1")
         h2 = self._gated(z2, "p_x_z2")
@@ -451,24 +488,59 @@ class TorchTwinConvHVAE(TorchTwinHVAE):
                 h = self._gated_conv_t(h, f"p_x_deconv_{i}", s)
             else:
                 h = self._gated_conv(h, f"p_x_deconv_{i}", s)
-        mean = torch.sigmoid(self._conv(h, "p_x_mean_head", 1))
-        if self.input_type == "binary":
-            return self._nchw_flat(mean), None
-        mean = torch.clamp(mean, 1.0 / 512.0, 1.0 - 1.0 / 512.0)
-        logvar = torch.clamp(self._conv(h, "p_x_logvar_head", 1), -4.5, 0.0)
-        return self._nchw_flat(mean), self._nchw_flat(logvar)
+        return self._likelihood_heads(h)
 
-    def _log_logistic_256(self, x, mean, logvar):
+
+class TorchTwinPixelHVAE(_ConvOpsMixin, TorchTwinHVAE):
+    """Trainable torch twin of the PixelHVAE (models/pixel_hvae.py): the
+    HVAE's MLP inference net + p(z1|z2) (TwoLevelMLPCore — shared param
+    names, inherited from TorchTwinHVAE) with the autoregressive masked-conv
+    decoder. Pins the masked-conv conventions no other twin touches:
+
+    * the PixelCNN mask layout (layers.py::MaskedConv2d): spatial-only
+      masking — center row blocked from the center column (+1 for type
+      'B'), all rows below blocked; type 'A' (5x5 input layer) excludes
+      the center pixel, type 'B' (3x3 stack) includes it;
+    * the latent conditioning: dense ctx_proj(z1||z2) -> (H, W, F) context
+      map ADDED to the input-layer output and to every stack layer output;
+    * relu placement (between layers and before the heads, NOT on the
+      input-layer's pixel input);
+    * teacher forcing: training/eval run ONE parallel masked pass — the
+      mask alone enforces causality;
+    * the shared likelihood-head clamps via 1x1 convs (mixin).
+
+    Nothing is copied — the reference mount is empty; this re-expresses the
+    behavioral contract (SURVEY.md §0.2, models/pixel_hvae.py docstring)
+    independently in torch."""
+
+    def __init__(self, flax_params, lr=5e-4, *, input_size=(1, 28, 28),
+                 input_type="binary", pixelcnn_features=64,
+                 pixelcnn_layers=4, **kw):
+        self.c, self.h, self.w = input_size
+        self.input_type = input_type
+        self.pf = pixelcnn_features
+        self.n_pix_layers = pixelcnn_layers
+        super().__init__(flax_params, lr=lr, **kw)
+
+    def _masked_conv(self, x, name, mask_type):
+        """Stride-1 SAME conv with the PixelCNN causal mask applied to the
+        flax-layout kernel (layers.py::MaskedConv2d mask construction)."""
         torch = self.torch
-        bin_size = 1.0 / 256.0
-        scale = torch.exp(logvar)
-        xs = (torch.floor(x / bin_size) * bin_size - mean) / scale
-        cdf_plus = torch.sigmoid(xs + bin_size / scale)
-        cdf_minus = torch.sigmoid(xs)
-        return torch.log(cdf_plus - cdf_minus + 1e-7).sum(-1)
+        w = self.p[f"{name}/kernel"]          # (kh, kw, in, out)
+        kh, kw = w.shape[0], w.shape[1]
+        mask = torch.ones(kh, kw, 1, 1)
+        ch, cw = kh // 2, kw // 2
+        mask[ch, cw + (1 if mask_type == "B" else 0):] = 0.0
+        mask[ch + 1:] = 0.0
+        return self._conv_raw(x, w * mask, self.p[f"{name}/bias"], 1)
 
-    def _recon(self, x2d, z1, z2):
-        mean, logvar = self.decode_out(z1, z2)
-        if self.input_type == "binary":
-            return self._re_bernoulli(x2d, mean)
-        return self._log_logistic_256(x2d, mean, logvar)
+    def decode_out(self, x2d, z1, z2):
+        """Teacher-forced autoregressive likelihood params (one parallel
+        masked pass over the true pixels), flattened in NHWC order."""
+        torch = self.torch
+        ctx = self._dense(torch.cat([z1, z2], -1), "ctx_proj")
+        ctx = ctx.reshape(-1, self.h, self.w, self.pf).permute(0, 3, 1, 2)
+        h = self._masked_conv(self._to_nchw(x2d), "pix_in", "A") + ctx
+        for i in range(self.n_pix_layers):
+            h = self._masked_conv(torch.relu(h), f"pix_layers_{i}", "B") + ctx
+        return self._likelihood_heads(torch.relu(h))
