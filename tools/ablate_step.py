@@ -17,11 +17,30 @@ import sys
 import time
 
 
-def time_variant(label, cfg_kw, steps=200):
+def time_variant(label, cfg_kw, steps=200, stub_lse=False):
     import jax
     import jax.numpy as jnp
     from exemplar_vae_tpu.config import Config
     from exemplar_vae_tpu.train.trainer import Experiment
+
+    if stub_lse:
+        # Fusion upper bound: replace the pairwise LSE with a consume-only
+        # stub — the bank re-encode still runs (fwd AND bwd: the stub's
+        # gradient touches every mean), only the prior kernel + the means
+        # HBM round-trip disappear. full_step - this = the absolute most a
+        # fused encode+prior megakernel could save (DESIGN.md §8e).
+        import exemplar_vae_tpu.ops.exemplar_prior as ep
+
+        def _stub(z, means, log_var, data_idx, ex_idx, valid, impl, block_n):
+            return jnp.sum(means, axis=0) @ jnp.ones(
+                (means.shape[1],), jnp.float32) * 1e-12 + jnp.sum(
+                z, axis=-1) * 1e-12
+        orig = ep._pairwise_lse
+        ep._pairwise_lse = _stub
+        try:
+            return time_variant(label, cfg_kw, steps)
+        finally:
+            ep._pairwise_lse = orig
 
     kw = dict(dataset_name="synthetic", val_set_size=256, test_set_size=256,
               batch_size=100, hidden_size=300, z1_size=40, warmup=100,
@@ -62,6 +81,8 @@ def main():
                  dict(use_pallas_prior=True, compute_dtype="float32", **ex))
     time_variant("exemplar exact + pallas, remat on",
                  dict(use_pallas_prior=True, exact_remat=True, **ex))
+    time_variant("exemplar exact, LSE stubbed (fusion upper bound)",
+                 dict(use_pallas_prior=True, **ex), stub_lse=True)
 
 
 if __name__ == "__main__":
