@@ -23,6 +23,27 @@ def test_knn_indices_match_numpy_oracle(rng):
                                rtol=1e-4)
 
 
+def test_knn_tie_break_lowest_index(rng):
+    """Top-k tie-break pin (round-3 VERDICT item 3): with DUPLICATE cache
+    rows (exactly equal distances), knn_indices must return the LOWEST
+    bank index first — lax.top_k's documented tie order, and the
+    convention the torch twin's stable argsort replays
+    (tools/torch_twin.py::_knn_select). If an XLA change ever breaks this,
+    approximate-mode trajectory parity silently degrades — this pin makes
+    it loud."""
+    base = rng.normal(size=(10, 8)).astype(np.float32)
+    # every row duplicated 3x: rows {i, 10+i, 20+i} are identical
+    bank = jnp.asarray(np.concatenate([base, base, base], axis=0))
+    q = jnp.asarray(base[:4] + 1e-3)
+    k = 6
+    idx = np.asarray(knn_indices(q, bank, k))
+    d = ((np.asarray(q)[:, None] - np.asarray(bank)[None]) ** 2).sum(-1)
+    want = np.argsort(d, axis=1, kind="stable")[:, :k]
+    # exact index agreement, not just distance agreement: among the three
+    # identical copies the lowest index must be selected first
+    np.testing.assert_array_equal(idx, want)
+
+
 def test_pairwise_sq_dist_nonnegative(rng):
     q = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
     assert (np.asarray(pairwise_sq_dist(q, q)) >= 0).all()

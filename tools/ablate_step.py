@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def time_variant(label, cfg_kw, steps=200, stub_lse=False):
+def time_variant(label, cfg_kw, steps=200, stub_lse=False, repeats=1):
     import jax
     import jax.numpy as jnp
     from exemplar_vae_tpu.config import Config
@@ -29,7 +29,11 @@ def time_variant(label, cfg_kw, steps=200, stub_lse=False):
         # gradient touches every mean), only the prior kernel + the means
         # HBM round-trip disappear. full_step - this = the absolute most a
         # fused encode+prior megakernel could save (DESIGN.md §8e).
+        # sharded_prior binds _pairwise_lse by name at import, so on a
+        # multi-device mesh the trainer's sharded path would silently keep
+        # the real kernel — patch BOTH module bindings.
         import exemplar_vae_tpu.ops.exemplar_prior as ep
+        import exemplar_vae_tpu.parallel.sharded_prior as sp
 
         def _stub(z, means, log_var, data_idx, ex_idx, valid, impl, block_n):
             return jnp.sum(means, axis=0) @ jnp.ones(
@@ -37,10 +41,12 @@ def time_variant(label, cfg_kw, steps=200, stub_lse=False):
                 z, axis=-1) * 1e-12
         orig = ep._pairwise_lse
         ep._pairwise_lse = _stub
+        sp._pairwise_lse = _stub
         try:
             return time_variant(label, cfg_kw, steps)
         finally:
             ep._pairwise_lse = orig
+            sp._pairwise_lse = orig
 
     kw = dict(dataset_name="synthetic", val_set_size=256, test_set_size=256,
               batch_size=100, hidden_size=300, z1_size=40, warmup=100,
@@ -57,10 +63,11 @@ def time_variant(label, cfg_kw, steps=200, stub_lse=False):
     st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
-    st, m = exp.epoch_fn(st, ex, eidx, exp.bank,
-                         jax.random.fold_in(ekey, 2), beta)
+    for r in range(repeats):  # repeats: amortize dispatch comparably when
+        st, m = exp.epoch_fn(st, ex, eidx, exp.bank,  # steps/epoch is small
+                             jax.random.fold_in(ekey, 2 + r), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
-    dt = (time.perf_counter() - t0) / steps * 1e3
+    dt = (time.perf_counter() - t0) / (steps * repeats) * 1e3
     print(f"{label:55s} {dt:8.3f} ms/step  ({steps*cfg.batch_size/(dt*steps/1e3):8.0f} img/s)",
           flush=True)
     return dt

@@ -33,11 +33,22 @@ def main():
     rows = []
     for b in (100, 250, 500, 1000, 2000, 5000):
         steps = min(200, N // b)
+        # amortize per-epoch dispatch/sync comparably across rows: repeat
+        # the timed epoch until >=200 total steps are timed (batch 5000 has
+        # only 10 steps/epoch; one epoch would bias ms_per_step upward
+        # exactly where the scaling claim matters)
+        repeats = max(1, -(-200 // steps))
         ms = time_variant(f"exact N={N}, batch {b}", dict(batch_size=b, **ex),
-                          steps=steps)
-        rows.append({"batch": b, "ms_per_step": round(ms, 3),
+                          steps=steps, repeats=repeats)
+        rows.append({"batch": b, "steps_timed": steps * repeats,
+                     "ms_per_step": round(ms, 3),
                      "images_per_sec": round(b / (ms / 1e3))})
+    out = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "BATCH_SCALING.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
     print(json.dumps(rows, indent=1))
+    print(f"wrote {out}")
     return rows
 
 

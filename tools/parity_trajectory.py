@@ -50,6 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                batch=64, warmup=3, S=8, MB=4, seed=7, snapshot_dir=None,
                model_name="vae", prior="exemplar_prior", n_pseudo=24,
+               approximate_k=None,
                optimizer="adam_norm_grad", input_type="binary",
                conv_enc_spec="8k7s1,8k3s2,16k5s1,16k3s2",
                conv_dec_spec="t16k3s2,t8k3s2,c8k3s1", conv_proj_channels=16,
@@ -68,6 +69,13 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     pattern at reduced channels (CPU-feasible).
     prior: 'exemplar_prior' or 'vampprior' (TorchTwinVamp — pseudo-input
     mixture with per-component diagonal variances, data-seeded init).
+    approximate_k: when set, TRAIN in approximate-kNN mode (BASELINE.json
+    configs 3/4's training mode): stale per-epoch cache, per-row K
+    selection over it, fresh differentiable re-encode of the K neighbors,
+    full-set denominator, LOO on global indices — replayed independently
+    on the torch side (TorchTwin approximate mode + refresh_cache at the
+    same epoch boundary the trainer refreshes at). Eval stays exact in
+    both frameworks.
     optimizer: 'adam_norm_grad' (reference) or 'adam' — the
     VARIANCE-REDUCED mode: AdamNormGrad's per-tensor normalization
     amplifies fp32 noise chaotically; plain Adam keeps the trajectories
@@ -92,6 +100,8 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                                     else n_train),
                  use_training_data_init=(prior == "vampprior"),
                  model_name=model_name, prior=prior,
+                 approximate_prior=approximate_k is not None,
+                 approximate_k=approximate_k or 10,
                  hidden_size=hidden, optimizer=optimizer,
                  conv_enc_spec=conv_enc_spec, conv_dec_spec=conv_dec_spec,
                  conv_proj_channels=conv_proj_channels,
@@ -128,17 +138,20 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
             init_params, lr=cfg.lr, norm_grads=norm_grads,
             input_size=cfg.input_size, input_type=cfg.input_type,
             enc_spec=cfg.conv_enc_spec, dec_spec=cfg.conv_dec_spec,
-            proj_channels=cfg.conv_proj_channels)
+            proj_channels=cfg.conv_proj_channels,
+            approximate_k=approximate_k)
     elif pixel:
         twin = TorchTwinPixelHVAE(
             init_params, lr=cfg.lr, norm_grads=norm_grads,
             input_size=cfg.input_size, input_type=cfg.input_type,
             pixelcnn_features=cfg.pixelcnn_features,
-            pixelcnn_layers=cfg.pixelcnn_layers)
+            pixelcnn_layers=cfg.pixelcnn_layers,
+            approximate_k=approximate_k)
     else:
         twin_cls = (TorchTwinVamp if prior == "vampprior"
                     else TorchTwinHVAE if two_level else TorchTwin)
-        twin = twin_cls(init_params, lr=cfg.lr, norm_grads=norm_grads)
+        twin = twin_cls(init_params, lr=cfg.lr, norm_grads=norm_grads,
+                        approximate_k=approximate_k)
     key = jax.random.PRNGKey(cfg.seed)
     bank = train_x[:n_train]
 
@@ -172,6 +185,11 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
     for epoch in range(1, epochs + 1):
         beta = min(1.0, epoch / warmup) if warmup > 0 else 1.0
         ekey = jax.random.fold_in(key, epoch)
+        if approximate_k is not None:
+            # same boundary as train/trainer.py::train_epoch: the cache is
+            # refreshed with the params from the END of the previous epoch,
+            # BEFORE this epoch's steps (stale-cache semantics, §3.5)
+            twin.refresh_cache(bank)
         perm = np.asarray(jax.random.permutation(
             jax.random.fold_in(ekey, 2), n_train)[:steps * batch]
         ).reshape(steps, batch)
@@ -210,7 +228,7 @@ def run_parity(epochs=6, n_train=512, val=128, test=64, hidden=32, z=8,
                      for k in twin_best)
     out = {
         "model": model_name, "prior": prior, "optimizer": optimizer,
-        "input_type": input_type,
+        "input_type": input_type, "approximate_k": approximate_k,
         "epochs": epochs, "n_train": n_train, "hidden": hidden, "z": z,
         "jax_val_per_epoch": [float(v) for v in jax_val],
         "torch_val_per_epoch": [float(v) for v in torch_val],
@@ -229,11 +247,13 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    k = 10 if "--approx" in sys.argv else None
     if "--full" in sys.argv:
         out = run_parity(epochs=20, n_train=2048, val=512, test=256,
-                         hidden=64, z=16, batch=100, warmup=10, S=64, MB=16)
+                         hidden=64, z=16, batch=100, warmup=10, S=64, MB=16,
+                         approximate_k=k)
     else:
-        out = run_parity()
+        out = run_parity(approximate_k=k)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "parity_trajectory.json")
     with open(path, "w") as f:

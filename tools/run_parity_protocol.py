@@ -88,6 +88,10 @@ SESSION0_CHECKLIST = [
     "number_components: full train set vs a subset in the paper runs",
     "CelebA TRAINING prior mode: approximate-kNN (paper large-data mode, "
     "assumed here) vs exact full-bank — flip PROTOCOL['4'] if exact",
+    "deterministic validation key (DESIGN.md §4 — deliberate deviation: our "
+    "val/IWAE z-draws use one fixed per-run key; the reference's advance "
+    "the global RNG per eval, changing early-stopping dynamics; fallback = "
+    "fold_in(seed, epoch) per-epoch keys in trainer.validate())",
 ]
 
 

@@ -48,7 +48,8 @@ class TorchTwin:
     """Functional torch model over a flat dict of flax-layout parameters."""
 
     def __init__(self, flax_params, lr=5e-4, betas=(0.9, 0.999),
-                 adam_eps=1e-8, norm_eps=1e-7, norm_grads=True):
+                 adam_eps=1e-8, norm_eps=1e-7, norm_grads=True,
+                 approximate_k=None):
         import torch
 
         self.torch = torch
@@ -56,6 +57,11 @@ class TorchTwin:
         # norm_grads=False -> plain Adam (the variance-reduced parity mode,
         # matching train/optimizer.py::plain_adam)
         self.norm_grads = norm_grads
+        # approximate_k -> TRAIN-time kNN prior over a stale per-epoch cache
+        # (reference cache_z/get_exemplar_set semantics, SURVEY.md §3.5);
+        # eval stays exact. Caller refreshes via refresh_cache() per epoch.
+        self.approximate_k = approximate_k
+        self.cache = None
         self.p = {k: torch.tensor(v, dtype=torch.float32, requires_grad=True)
                   for k, v in _flatten(flax_params).items()}
         self.z_dim = self._resolve_z_dim()
@@ -113,12 +119,59 @@ class TorchTwin:
     def _log_q(self, z, mean, logvar):
         return (-0.5 * (logvar + (z - mean) ** 2 / logvar.exp())).sum(-1)
 
-    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom):
-        """Exact exemplar prior: differentiable full-bank re-encode,
-        pairwise isotropic log-normal, optional LOO mask, logsumexp."""
+    def refresh_cache(self, bank):
+        """Per-epoch stale-cache refresh (reference cache_z [U]): encode the
+        whole bank with the CURRENT params, no grad. Call at epoch start —
+        the cache then lags the encoder by up to one epoch, exactly like
+        train/trainer.py::train_epoch's cache_refresh placement."""
         torch = self.torch
-        bank_mean, _ = self.encode(bank2d)
+        with torch.no_grad():
+            bank2d = torch.tensor(
+                np.asarray(bank, np.float32).reshape(len(bank), -1))
+            self.cache, _ = self.encode(bank2d)
+        return self.cache
+
+    def _knn_select(self, q_mean):
+        """Per-row K nearest stale-cache entries. Distances use the SAME
+        expansion as ops/knn.py::pairwise_sq_dist (q^2 + b^2 - 2 q.b, fp32,
+        clamped at 0) so near-tie decisions match the JAX side bit-for-bit
+        where the fp32 arithmetic does; EXACT ties break to the LOWEST
+        index (np stable argsort), pinning lax.top_k's documented tie-break
+        (tests/test_knn.py duplicate-distance pin)."""
+        torch = self.torch
+        with torch.no_grad():
+            q = q_mean.detach().float()
+            qs = (q * q).sum(-1, keepdim=True)
+            bs = (self.cache * self.cache).sum(-1)[None, :]
+            d = torch.clamp(qs + bs - 2.0 * (q @ self.cache.T), min=0.0)
+            idx = np.argsort(d.numpy(), axis=1,
+                             kind="stable")[:, :self.approximate_k]
+        return torch.tensor(idx, dtype=torch.long)
+
+    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom,
+                        q_mean=None, train=False):
+        """Exemplar prior. Exact mode: differentiable full-bank re-encode,
+        pairwise isotropic log-normal, optional LOO mask, logsumexp.
+        Approximate TRAIN mode (approximate_k set): per-row kNN over the
+        stale cache -> fresh differentiable re-encode of each point's K
+        neighbors -> per-row mixture with the FULL-set denominator and the
+        LOO mask on global indices (models/base.py::rows_exemplar_log_prob,
+        train/loss.py approx branch)."""
+        torch = self.torch
         lv = self.p["prior_log_var"]
+        if train and self.approximate_k is not None:
+            idx = self._knn_select(q_mean)                       # (B, K)
+            sel = bank2d[idx.reshape(-1)]                        # (B*K, X)
+            mean_sel, _ = self.encode(sel)                       # fresh, grad
+            mean_bk = mean_sel.reshape(idx.shape[0], idx.shape[1], -1)
+            sq = ((z[:, None, :] - mean_bk) ** 2).sum(-1)        # (B, K)
+            logits = -0.5 * (self.z_dim * lv + sq * torch.exp(-lv))
+            if data_idx is not None:
+                ex_idx = bank_idx[idx]                           # (B, K)
+                logits = logits.masked_fill(ex_idx == data_idx[:, None],
+                                            -1e30)
+            return torch.logsumexp(logits, dim=-1) - log_denom
+        bank_mean, _ = self.encode(bank2d)
         sq = torch.cdist(z, bank_mean) ** 2
         logits = -0.5 * (self.z_dim * lv + sq * torch.exp(-lv))
         if data_idx is not None:
@@ -126,13 +179,15 @@ class TorchTwin:
             logits = logits.masked_fill(mask, -1e30)
         return torch.logsumexp(logits, dim=-1) - log_denom
 
-    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom):
+    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom,
+                   train=False):
         """-> (RE, KL) per example, with injected reparam noise eps."""
         q_mean, q_logvar = self.encode(x2d)
         z = q_mean + self.torch.exp(0.5 * q_logvar) * eps
         re = self._re_bernoulli(x2d, self.decode_probs(z))
         log_q = self._log_q(z, q_mean, q_logvar)
-        log_p = self._log_p_exemplar(z, bank2d, data_idx, bank_idx, log_denom)
+        log_p = self._log_p_exemplar(z, bank2d, data_idx, bank_idx, log_denom,
+                                     q_mean=q_mean, train=train)
         return re, log_q - log_p
 
     # ---------------- training / evaluation ------------------------------
@@ -145,7 +200,8 @@ class TorchTwin:
         re, kl = self.elbo_terms(
             x2d, torch.tensor(np.asarray(eps, np.float32)), bank2d,
             torch.tensor(np.asarray(idx, np.int64)),
-            torch.arange(len(bank)), self.train_log_denom(n_bank))
+            torch.arange(len(bank)), self.train_log_denom(n_bank),
+            train=True)
         loss = (-re + beta * kl).mean()
         for t in self.p.values():
             t.grad = None
@@ -230,7 +286,8 @@ class TorchTwinVamp(TorchTwin):
     variances (models/base.py::log_p_z_top vamp branch). The bank args of
     the shared train/eval drivers are ignored; log_denom carries log(C)."""
 
-    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom):
+    def _log_p_exemplar(self, z, bank2d, data_idx, bank_idx, log_denom,
+                        q_mean=None, train=False):
         torch = self.torch
         u = torch.clamp(self.p["pseudo_inputs"], 0.0, 1.0)
         u2d = u.reshape(u.shape[0], -1)
@@ -289,7 +346,8 @@ class TorchTwinHVAE(TorchTwin):
         h = self._gated(self.torch.cat([h1, h2], -1), "p_x_joint")
         return self.torch.sigmoid(self._dense(h, "p_x_mean_head/Dense_0"))
 
-    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom):
+    def elbo_terms(self, x2d, eps, bank2d, data_idx, bank_idx, log_denom,
+                   train=False):
         """eps is (B, 2*Z): [eps2 | eps1] packed by the caller."""
         torch = self.torch
         z = self.z_dim
@@ -303,7 +361,8 @@ class TorchTwinHVAE(TorchTwin):
                     - self._log_q(z1, p1_mean, p1_logvar))
         re = self._recon(x2d, z1, z2)
         log_q = self._log_q(z2, q2_mean, q2_logvar)
-        log_p = self._log_p_exemplar(z2, bank2d, data_idx, bank_idx, log_denom)
+        log_p = self._log_p_exemplar(z2, bank2d, data_idx, bank_idx, log_denom,
+                                     q_mean=q2_mean, train=train)
         return re, log_q - log_p + extra_kl
 
     def _recon(self, x2d, z1, z2):
