@@ -49,15 +49,15 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
     )
     exp = Experiment(cfg, verbose=False)
     ekey = jax.random.fold_in(exp.key, 1)
-    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
-                                steps=timed_steps, batch=batch)
+    perm = exp._epoch_build(ekey, steps=timed_steps, batch=batch)
     beta = jnp.float32(1.0)
     from exemplar_vae_tpu.train.profiling import fetch_sync
     # warmup/compile with the SAME static shapes as the timed run
-    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    st, _ = exp.epoch_fn(exp.state, exp.train_x, exp.train_idx, perm,
+                         exp.bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
-    st, metrics = exp.epoch_fn(st, ex, eidx, exp.bank,
+    st, metrics = exp.epoch_fn(st, exp.train_x, exp.train_idx, perm, exp.bank,
                                jax.random.fold_in(ekey, 1), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = time.perf_counter() - t0

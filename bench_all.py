@@ -66,8 +66,7 @@ def measure(cfg_kw, timed_steps, label):
     exp = Experiment(cfg, verbose=False)
     steps = min(timed_steps, exp.steps_per_epoch)
     ekey = jax.random.fold_in(exp.key, 1)
-    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
-                                steps=steps, batch=cfg.batch_size)
+    perm = exp._epoch_build(ekey, steps=steps, batch=cfg.batch_size)
     from exemplar_vae_tpu.train.profiling import fetch_sync
     beta = jnp.float32(1.0)
     refresh_s = 0.0
@@ -86,10 +85,11 @@ def measure(cfg_kw, timed_steps, label):
         fetch_sync(cache)
         refresh_s = time.perf_counter() - t0
         exp.bank = exp.bank._replace(cache_means=cache)
-    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    st, _ = exp.epoch_fn(exp.state, exp.train_x, exp.train_idx, perm,
+                         exp.bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
-    st, m = exp.epoch_fn(st, ex, eidx, exp.bank,
+    st, m = exp.epoch_fn(st, exp.train_x, exp.train_idx, perm, exp.bank,
                          jax.random.fold_in(ekey, 2), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = time.perf_counter() - t0

@@ -122,6 +122,13 @@ class Config:
     exact_reencode_chunk: int = 8192     # bank re-encode chunk (memory control)
     exact_remat: bool = True             # remat the bank encode (memory vs FLOPs)
     donate_state: bool = True
+    # epoch-batch gather placement: "auto" gathers each step's B rows from
+    # the device-resident train_x INSIDE the epoch scan (no epoch-sized HBM
+    # copy, DESIGN.md §8f) unless train_x exceeds ~2^31 elements, where the
+    # round-3 pre-materialized epoch tensor is kept (the in-scan variant
+    # has no track record at that scale — DESIGN.md §8g). "in_scan" /
+    # "pregather" force either path (CI pins their equality).
+    gather_in_scan: str = "auto"
 
     # --- infrastructure ---
     data_dir: str = "datasets"
@@ -149,6 +156,7 @@ class Config:
             "input_type": ("binary", "gray", "continuous"),
             "checkpoint_backend": ("npz", "orbax"),
             "compute_dtype": ("float32", "bfloat16"),
+            "gather_in_scan": ("auto", "in_scan", "pregather"),
         }
         for field, allowed in _choices.items():
             v = getattr(self, field)
@@ -187,6 +195,7 @@ class Config:
         "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
         "prior_block_n", "exact_reencode_chunk", "exact_remat", "donate_state",
+        "gather_in_scan",
         "data_dir", "snapshot_dir", "checkpoint_every", "checkpoint_backend",
         "resume", "eval_only", "debug_nans", "profile_epoch",
     })

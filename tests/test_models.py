@@ -68,6 +68,10 @@ def test_pixelhvae_trains_end_to_end(tmp_path):
                  val_set_size=32, test_set_size=16, number_components=96,
                  batch_size=32, warmup=2, epochs=2, S=2, MB=2,
                  test_batch_size=16, hidden_size=32, z1_size=8, z2_size=8,
+                 # wiring test, not a capacity test: the default 64x4
+                 # PixelCNN stack costs ~3 CPU-minutes of masked-conv FLOPs
+                 # on this 1-core host for zero extra coverage
+                 pixelcnn_features=16, pixelcnn_layers=2,
                  use_pallas_prior=False, prior_block_n=32,
                  exact_reencode_chunk=32, snapshot_dir=str(tmp_path))
     exp = Experiment(cfg, verbose=False)

@@ -51,6 +51,24 @@ def test_elbo_improves_over_epochs(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+def test_gather_paths_bitwise_equal(tmp_path):
+    """The two epoch-batch gather placements (DESIGN.md §8f/§8g) must be
+    bitwise-interchangeable: 'in_scan' gathers each step's rows inside the
+    scan (no epoch-sized HBM copy), 'pregather' materializes the round-3
+    epoch tensor (the CelebA-scale TPU-fault fallback). Same seed, same
+    data -> identical post-epoch loss and params."""
+    states = {}
+    for mode in ("in_scan", "pregather"):
+        exp = Experiment(_base(tmp_path / mode, model_name="vae",
+                               prior="exemplar_prior", gather_in_scan=mode),
+                         verbose=False)
+        m = exp.train_epoch()
+        states[mode] = (m["loss"], jax.device_get(exp.state.params))
+    assert states["in_scan"][0] == states["pregather"][0]
+    jax.tree.map(np.testing.assert_array_equal,
+                 states["in_scan"][1], states["pregather"][1])
+
+
 def test_metrics_jsonl_written(tmp_path):
     exp = Experiment(_base(tmp_path, epochs=1), verbose=False)
     exp.run(max_epochs=1)

@@ -38,14 +38,14 @@ def time_variant(label, cfg_kw, steps=50):
         cache = exp.cache_refresh(exp.state.params, bank.images,
                                   jax.random.fold_in(ekey, 1))
         bank = bank._replace(cache_means=cache)
-    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
-                                steps=steps, batch=cfg.batch_size)
+    perm = exp._epoch_build(ekey, steps=steps, batch=cfg.batch_size)
     from exemplar_vae_tpu.train.profiling import fetch_sync
     beta = jnp.float32(1.0)
-    st, _ = exp.epoch_fn(exp.state, ex, eidx, bank, ekey, beta)
+    st, _ = exp.epoch_fn(exp.state, exp.train_x, exp.train_idx, perm,
+                         bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
-    st, m = exp.epoch_fn(st, ex, eidx, bank,
+    st, m = exp.epoch_fn(st, exp.train_x, exp.train_idx, perm, bank,
                          jax.random.fold_in(ekey, 2), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = (time.perf_counter() - t0) / steps * 1e3

@@ -56,15 +56,16 @@ def time_variant(label, cfg_kw, steps=200, stub_lse=False, repeats=1):
     cfg = Config(**kw)
     exp = Experiment(cfg, verbose=False)
     ekey = jax.random.fold_in(exp.key, 1)
-    ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx, ekey,
-                                steps=steps, batch=cfg.batch_size)
+    perm = exp._epoch_build(ekey, steps=steps, batch=cfg.batch_size)
     from exemplar_vae_tpu.train.profiling import fetch_sync
     beta = jnp.float32(1.0)
-    st, _ = exp.epoch_fn(exp.state, ex, eidx, exp.bank, ekey, beta)
+    st, _ = exp.epoch_fn(exp.state, exp.train_x, exp.train_idx, perm,
+                         exp.bank, ekey, beta)
     fetch_sync(st.params)
     t0 = time.perf_counter()
     for r in range(repeats):  # repeats: amortize dispatch comparably when
-        st, m = exp.epoch_fn(st, ex, eidx, exp.bank,  # steps/epoch is small
+        st, m = exp.epoch_fn(st, exp.train_x, exp.train_idx, perm,
+                             exp.bank,  # steps/epoch is small
                              jax.random.fold_in(ekey, 2 + r), beta)
     fetch_sync(st.params)  # device->host fetch: real sync on the tunnel
     dt = (time.perf_counter() - t0) / (steps * repeats) * 1e3

@@ -110,16 +110,19 @@ def main():
     for epoch in range(from_epoch + 1, to_epoch + 1):
         beta = beta_schedule(epoch, cfg.warmup)
         ekey = jax.random.fold_in(exp.key, epoch)
-        ex, eidx = exp._epoch_build(exp.train_x, exp.train_idx,
-                                    jax.random.fold_in(ekey, 2),
-                                    steps=exp.steps_per_epoch,
-                                    batch=cfg.batch_size)
+        perm = exp._epoch_build(jax.random.fold_in(ekey, 2),
+                                steps=exp.steps_per_epoch,
+                                batch=cfg.batch_size)
         skey = jax.random.fold_in(ekey, 3)
         bank = _preprocess_bank(jax.random.fold_in(skey, 0x7FFFFFFF),
                                 exp.bank, cfg)
+        x2d = exp.train_x.reshape(exp.train_x.shape[0], -1)
         for i in range(exp.steps_per_epoch):
             k = jax.random.fold_in(skey, i)
-            state, stats, gnorms = diag_step(state, ex[i], eidx[i], bank,
+            xi = jnp.take(x2d, perm[i], axis=0).reshape(
+                (perm.shape[1],) + exp.train_x.shape[1:])
+            eidx_i = jnp.take(exp.train_idx, perm[i])
+            state, stats, gnorms = diag_step(state, xi, eidx_i, bank,
                                              k, jnp.float32(beta))
             rec = {k2: float(v) for k2, v in stats.items()}
             rec.update(epoch=epoch, step=i,

@@ -225,7 +225,7 @@ class TorchTwin:
                            / (self._v[k].sqrt() + self.adam_eps))
         else:
             self.opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     def val_elbo(self, x, eps, bank, n_bank):
         """Mean validation loss (-RE + KL), full bank, no LOO, denom N."""
