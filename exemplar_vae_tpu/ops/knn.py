@@ -30,7 +30,7 @@ def pairwise_sq_dist(q, bank):
 
 
 def knn_indices(q_means, cache_means, k: int, *, valid=None,
-                block: int = 524_288):
+                block: int = None):
     """Top-k nearest cache rows per query. Returns (B, k) int32 indices.
 
     ``valid``: optional (N,) bool mask — False rows (mesh padding of a
@@ -39,37 +39,27 @@ def knn_indices(q_means, cache_means, k: int, *, valid=None,
     selected as neighbors (the sharded path, make_sharded_knn_select,
     guards the same way).
 
-    A single ``lax.top_k`` over the whole cache axis is the fast path:
-    measured on v5e it beats the two-stage blocked reduction 12x at
-    N=200k (1.3 ms vs 15.8 ms for B=100 — the blocked variant sorts
-    nb*B narrow tiles and the tile bookkeeping dominates; numbers in
-    docs/DESIGN.md §8c). The whole cutoff range is now measured (r3,
-    host-fetch-synced, B=100, K=10): wide top_k runs 2.7 ms at N=524k
-    and 4.8 ms at N=1,048,576 vs 103/118 ms blocked, with compile time
-    flat at 1-2 s — so the single sort wins everywhere up to the 2*block
-    boundary, and the compile-time blowup the blocked path was guarding
-    against does not occur on this platform. The EXACT two-stage
-    reduction (per-block top-k, then top-k over the nb*k candidates —
-    identical result, every sort narrow) is kept only as a fallback for
-    caches beyond 2*block rows, which remain unmeasured.
+    One ``lax.top_k`` over the whole cache axis, at every size. History:
+    round 1 shipped an exact two-stage blocked reduction on a compile-time
+    assumption; round 3 measured the single sort beating it 12-25x up to
+    2^20 rows but kept the blocked variant as an UNMEASURED fallback
+    beyond that; round 4 measured the fallback region (v5e, B=100, K=10,
+    host-fetch-synced, KNN_WIDE.json): wide runs 16 ms at 2^21 rows,
+    26.8 ms at 2^22, 47 ms at 2^23 — linear in N with flat compile —
+    while the blocked path takes 531/640 ms at 2M/4M (the nb*B narrow-
+    tile sorts' bookkeeping dominates). The blocked path lost everywhere
+    it was ever measured and is deleted; ties break to the lowest index
+    (lax.top_k semantics, pinned in tests/test_knn_and_preprocess.py).
+
+    ``block`` is accepted and ignored (kept so older call sites/tools
+    don't break).
     """
+    del block
     d = pairwise_sq_dist(q_means, jax.lax.stop_gradient(cache_means))
     if valid is not None:
         d = jnp.where(valid[None, :], d, jnp.inf)
-    b, n = d.shape
-    if n <= max(2 * block, 2 * k):
-        _, idx = jax.lax.top_k(-d, min(k, n))
-        return idx.astype(jnp.int32)
-    pad = (-n) % block
-    d_p = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    nb = d_p.shape[1] // block
-    d_t = d_p.reshape(b, nb, block)
-    neg_blk, idx_blk = jax.lax.top_k(-d_t, k)          # (B, nb, k)
-    base = (jnp.arange(nb, dtype=jnp.int32) * block)[None, :, None]
-    cand_idx = (idx_blk.astype(jnp.int32) + base).reshape(b, nb * k)
-    cand_neg = neg_blk.reshape(b, nb * k)
-    _, sel = jax.lax.top_k(cand_neg, k)                # (B, k) into candidates
-    return jnp.take_along_axis(cand_idx, sel, axis=1)
+    _, idx = jax.lax.top_k(-d, min(k, d.shape[1]))
+    return idx.astype(jnp.int32)
 
 
 def dedup_valid_mask(flat_idx):

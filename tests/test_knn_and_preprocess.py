@@ -131,14 +131,19 @@ def test_uint8_dequantization():
     assert (tr != ev).any()  # train adds noise
 
 
-def test_knn_two_stage_matches_one_stage(rng):
-    """The blocked top-k reduction is exact vs a single top_k."""
-    import jax.numpy as jnp
-    q = jnp.asarray(rng.normal(size=(7, 12)), jnp.float32)
-    bank = jnp.asarray(rng.normal(size=(3000, 12)), jnp.float32)
-    a = np.asarray(knn_indices(q, bank, 5, block=256))   # forced two-stage
-    b = np.asarray(knn_indices(q, bank, 5, block=100000))  # one-stage
-    d = ((np.asarray(q)[:, None] - np.asarray(bank)[None]) ** 2).sum(-1)
-    da = np.take_along_axis(d, a, 1)
-    db = np.take_along_axis(d, b, 1)
-    np.testing.assert_allclose(np.sort(da, 1), np.sort(db, 1), rtol=1e-5)
+def test_knn_beyond_old_blocked_cutoff(rng):
+    """Round 4 deleted the blocked two-stage fallback after measuring it
+    24-33x SLOWER than one wide lax.top_k at 2M-4M rows (KNN_WIDE.json;
+    wide measured correct+linear through 2^23 rows on the chip). This
+    pins correctness of the wide path above the old 2*524288-row cutoff
+    where the fallback used to take over — small B/D so CI stays cheap."""
+    n = 2 ** 21 + 17
+    q = rng.normal(size=(3, 4)).astype(np.float32)
+    bank = rng.normal(size=(n, 4)).astype(np.float32)
+    idx = np.asarray(knn_indices(jnp.asarray(q), jnp.asarray(bank), 4))
+    d = ((q[:, None] - bank[None]) ** 2).sum(-1)
+    want = np.argsort(d, axis=1, kind="stable")[:, :4]
+    got_d = np.take_along_axis(d, idx, 1)
+    want_d = np.take_along_axis(d, want, 1)
+    np.testing.assert_allclose(np.sort(got_d, 1), np.sort(want_d, 1),
+                               rtol=1e-5)

@@ -1,15 +1,28 @@
-"""Measure kNN top-k beyond the wide-path cutoff (round-3 VERDICT weak #5).
+"""Measure the wide top-k across the old fallback boundary (round-3
+VERDICT weak #5 — resolved by MEASUREMENT + DELETION in round 4).
 
-ops/knn.py::knn_indices uses a single lax.top_k up to 2*block (=2^20) cache
-rows — measured through 1,048,576 in round 3 — and falls back to the exact
-two-stage blocked reduction beyond that, which had never been measured.
-This tool times both paths at and beyond the boundary on the real chip
-(synthetic cache; the kernel only sees (B, N) distances so content is
-irrelevant). Run when the TPU is idle:
+History: ops/knn.py round 1 shipped an exact two-stage blocked top-k on a
+compile-time assumption; round 3 measured one wide lax.top_k beating it
+12-25x up to 2^20 cache rows but left the blocked variant as the
+unmeasured fallback beyond; this tool then measured the fallback region
+(v5e, B=100, K=10, host-fetch-synced):
+
+    n=1,048,576  wide      11.3 ms
+    n=2,097,152  blocked  531.0 ms   <- the fallback, first size it ran
+    n=2,097,152  wide      16.0 ms   (forced)  -> 33x faster
+    n=4,194,304  blocked  640.1 ms
+    n=4,194,304  wide      26.8 ms
+    n=8,388,608  wide      47.0 ms   (linear in N, flat compile)
+
+The blocked path lost everywhere it was ever measured and was deleted;
+knn_indices now always runs the single wide sort (its ``block`` kwarg is
+accepted and ignored). This tool re-measures the wide path across the old
+boundary. Run on the idle chip:
 
     /opt/venv/bin/python tools/bench_knn_wide.py
 
-Writes KNN_WIDE.json at the repo root.
+Writes KNN_WIDE.json at the repo root (historical rows above are kept in
+git history / the docstring).
 """
 
 from __future__ import annotations
@@ -34,16 +47,10 @@ def main():
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(jax.random.fold_in(key, 1), (b, dz), jnp.float32)
     rows = []
-    for n, block in [
-        (1_048_576, 524_288),   # wide path at its cutoff (r3 reference point)
-        (2_097_152, 524_288),   # blocked fallback, first size that triggers it
-        (2_097_152, 2_097_152), # wide path forced at the same N (block=N)
-        (4_194_304, 524_288),   # blocked fallback, 4M rows
-    ]:
+    for n in (1_048_576, 2_097_152, 4_194_304, 8_388_608):
         cache = jax.random.normal(jax.random.fold_in(key, n % 97),
                                   (n, dz), jnp.float32)
-        f = jax.jit(lambda q, c: knn_indices(q, c, k, block=block),
-                    static_argnames=())
+        f = jax.jit(lambda q, c: knn_indices(q, c, k))
         t0 = time.perf_counter()
         idx = f(q, cache)
         fetch_sync(idx)
@@ -54,8 +61,7 @@ def main():
             idx = f(q, cache)
         fetch_sync(idx)
         ms = (time.perf_counter() - t0) / reps * 1e3
-        path = "wide" if n <= 2 * block else "blocked"
-        rows.append({"n": n, "block": block, "path": path,
+        rows.append({"n": n, "path": "wide",
                      "ms": round(ms, 2), "compile_s": round(compile_s, 1)})
         print(rows[-1], flush=True)
         del cache
