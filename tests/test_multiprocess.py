@@ -85,6 +85,7 @@ def test_two_process_cluster_runs_sharded_step():
     assert abs(results[0][1] - wsum) < 1e-6
 
 
+@pytest.mark.slow
 def test_two_process_experiment_equals_single_process(tmp_path):
     """Full multi-host Experiment path: two real processes run ONE tiny
     Experiment epoch + validation over the cross-process ('data',) mesh
@@ -145,6 +146,7 @@ def test_two_process_experiment_equals_single_process(tmp_path):
     assert abs(results[0][1] - float(val[0])) < 1e-3
 
 
+@pytest.mark.slow
 def test_two_process_checkpoint_cycle(tmp_path):
     """Multi-host checkpoint save/restore for real: two processes run an
     approximate-prior epoch (kNN cache SHARDED across the processes — the

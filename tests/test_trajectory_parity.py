@@ -71,6 +71,7 @@ def test_hvae_trajectory_matches_torch(tmp_path):
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
 
 
+@pytest.mark.slow
 def test_conv_trajectory_matches_torch(tmp_path):
     """ConvHVAE end-to-end (round-2 VERDICT next-round item 1): pins the
     conv conventions the flagship parity configs ride on — flax SAME
@@ -90,6 +91,7 @@ def test_conv_trajectory_matches_torch(tmp_path):
     assert out["jax_val_per_epoch"][-1] < out["jax_val_per_epoch"][0] - 1.0
 
 
+@pytest.mark.slow
 def test_conv_gray_logistic256_trajectory_matches_torch(tmp_path):
     """ConvHVAE with input_type='gray' — additionally pins the
     logistic-256 CONV head (sigmoid mean clipped to [1/512, 1-1/512],
