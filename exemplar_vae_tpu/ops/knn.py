@@ -29,8 +29,7 @@ def pairwise_sq_dist(q, bank):
     return jnp.maximum(q_sq + b_sq - 2.0 * cross, 0.0)
 
 
-def knn_indices(q_means, cache_means, k: int, *, valid=None,
-                block: int = None):
+def knn_indices(q_means, cache_means, k: int, *, valid=None):
     """Top-k nearest cache rows per query. Returns (B, k) int32 indices.
 
     ``valid``: optional (N,) bool mask — False rows (mesh padding of a
@@ -50,11 +49,7 @@ def knn_indices(q_means, cache_means, k: int, *, valid=None,
     tile sorts' bookkeeping dominates). The blocked path lost everywhere
     it was ever measured and is deleted; ties break to the lowest index
     (lax.top_k semantics, pinned in tests/test_knn_and_preprocess.py).
-
-    ``block`` is accepted and ignored (kept so older call sites/tools
-    don't break).
     """
-    del block
     d = pairwise_sq_dist(q_means, jax.lax.stop_gradient(cache_means))
     if valid is not None:
         d = jnp.where(valid[None, :], d, jnp.inf)

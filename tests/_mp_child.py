@@ -22,19 +22,14 @@ try:  # cross-process CPU collectives need the gloo backend
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 except Exception:
     pass
-# share the suite's persistent compilation cache (tests/conftest.py): the
-# children's Experiment compiles dominate the multiprocess tests' wall time
-# and are identical across runs
-_cache = os.environ.get(
-    "EXEMPLAR_JAX_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-if _cache != "off":
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# share the suite's persistent compilation cache (exemplar_vae_tpu/
+# compile_cache.py): the children's Experiment compiles dominate the
+# multiprocess tests' wall time and are identical across runs
+from exemplar_vae_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

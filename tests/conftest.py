@@ -25,14 +25,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-_CACHE_DIR = os.environ.get(
-    "EXEMPLAR_JAX_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-if _CACHE_DIR != "off":
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from exemplar_vae_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -3,10 +3,16 @@
 Round-3 MULTICHIP regressed to rc=124 (driver timeout) because nothing in
 CI bounded the dryrun's wall time — the equivalence upgrade silently added
 multi-minute ConvHVAE CPU compiles. This test runs the real driver entry
-point in a fresh subprocess (cold compile caches, exactly like the driver)
-and fails if it exceeds the budget or its output loses the progress tail.
+point in a fresh subprocess and fails if it exceeds the budget or its
+output loses the progress tail. Honest scope: the subprocess shares the
+repo's persistent .jax_cache (exactly like the driver, which runs after
+the suite has warmed it), so on a warmed checkout this bounds the WARM
+wall time; the cold bound only binds on a fresh clone (measured ~55 s
+cold at 170 s budget — ample headroom either way). Delete .jax_cache or
+set EXEMPLAR_JAX_CACHE=off to re-measure cold.
 """
 
+import os
 import re
 import subprocess
 import sys
@@ -14,6 +20,7 @@ import sys
 import pytest
 
 BUDGET_S = 170  # judge budget is <180s; the measured run is ~55s cold
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
@@ -22,7 +29,7 @@ def test_dryrun_multichip_within_wall_budget():
         proc = subprocess.run(
             [sys.executable, "-c",
              "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-            cwd="/root/repo", capture_output=True, text=True,
+            cwd=REPO_ROOT, capture_output=True, text=True,
             timeout=BUDGET_S)
     except subprocess.TimeoutExpired as e:
         tail = (e.stdout or b"")[-2000:]

@@ -43,7 +43,7 @@ def time_variant(label, cfg_kw, steps=200, stub_lse=False, repeats=1):
         ep._pairwise_lse = _stub
         sp._pairwise_lse = _stub
         try:
-            return time_variant(label, cfg_kw, steps)
+            return time_variant(label, cfg_kw, steps, repeats=repeats)
         finally:
             ep._pairwise_lse = orig
             sp._pairwise_lse = orig

@@ -137,7 +137,7 @@ class TorchTwin:
         clamped at 0) so near-tie decisions match the JAX side bit-for-bit
         where the fp32 arithmetic does; EXACT ties break to the LOWEST
         index (np stable argsort), pinning lax.top_k's documented tie-break
-        (tests/test_knn.py duplicate-distance pin)."""
+        (tests/test_knn_and_preprocess.py duplicate-distance pin)."""
         torch = self.torch
         with torch.no_grad():
             q = q_mean.detach().float()
