@@ -10,12 +10,39 @@ has something to learn.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
+
+# Generation is deterministic in its arguments, so large outputs are cached
+# on disk verbatim: the CelebA-shaped N=200k set costs ~417 s of np.exp on
+# one core per process otherwise (measured — it dominated every config-4
+# tool run's setup). Small (test-sized) sets stay uncached.
+_CACHE_MIN_ELEMS = 2 ** 26  # ~64 MB float32 images
+
+
+def _cache_dir() -> str | None:
+    if os.environ.get("EVT_SYNTH_CACHE", "1") == "0":
+        return None
+    return os.environ.get(
+        "EVT_SYNTH_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "exemplar_vae_tpu", "synth"))
 
 
 def synthetic_images(n: int, h: int, w: int, c: int, *, n_classes: int = 10,
                      seed: int = 0, blobs_per_class: int = 3):
     """Returns (images float32 (n,h,w,c) in [0,1], labels int32 (n,))."""
+    cache = None
+    if n * h * w * c >= _CACHE_MIN_ELEMS and (cdir := _cache_dir()):
+        cache = os.path.join(
+            cdir, f"synth_{n}x{h}x{w}x{c}_cls{n_classes}"
+                  f"_blob{blobs_per_class}_seed{seed}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return z["x"], z["y"]
+
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, n).astype(np.int32)
 
@@ -58,4 +85,19 @@ def synthetic_images(n: int, h: int, w: int, c: int, *, n_classes: int = 10,
             for k in range(c):
                 np.clip(imgs * phase[s:e, k, None, None], 0, 1,
                         out=out[s:e, ..., k])
+
+    if cache is not None:
+        # atomic publish: concurrent generators race benignly (identical
+        # bytes), a crashed writer leaves only a tmp file behind
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache), suffix=".tmp")
+        os.close(fd)
+        try:
+            with open(tmp, "wb") as fh:
+                np.savez(fh, x=out, y=labels)
+            os.replace(tmp, cache)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     return out, labels

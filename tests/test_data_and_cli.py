@@ -145,6 +145,24 @@ def test_synthetic_deterministic():
     assert a.min() >= 0 and a.max() <= 1
 
 
+def test_synthetic_disk_cache_roundtrip(tmp_path, monkeypatch):
+    # large generations are cached on disk (the N=200k set costs ~7 min of
+    # np.exp per process otherwise); cached bytes must be verbatim
+    from exemplar_vae_tpu.data import synthetic as syn
+    monkeypatch.setenv("EVT_SYNTH_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(syn, "_CACHE_MIN_ELEMS", 1)
+    a, la = syn.synthetic_images(16, 14, 14, 1, seed=3)
+    cached = list(tmp_path.glob("synth_*.npz"))
+    assert len(cached) == 1 and not list(tmp_path.glob("*.tmp"))
+    b, lb = syn.synthetic_images(16, 14, 14, 1, seed=3)  # cache hit
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(la, lb)
+    # cache off-switch bypasses the file
+    monkeypatch.setenv("EVT_SYNTH_CACHE", "0")
+    c, _ = syn.synthetic_images(16, 14, 14, 1, seed=3)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_reference_cli_flags_accepted():
     """The reference's launch command parses unchanged (SURVEY.md §5)."""
     ns = reference_arg_parser().parse_args([
