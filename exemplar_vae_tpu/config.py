@@ -121,6 +121,13 @@ class Config:
     prior_block_n: int = 2048            # exemplar-axis tile for blockwise prior
     exact_reencode_chunk: int = 8192     # bank re-encode chunk (memory control)
     exact_remat: bool = True             # remat the bank encode (memory vs FLOPs)
+    # remat the approximate mode's fresh B*K neighbor re-encode: the conv
+    # activations saved for its backward are the epoch program's largest
+    # transient at CelebA scale (DESIGN.md §8g); recomputing them in the
+    # backward trades ~one extra encoder forward for GBs of HBM. Values are
+    # bitwise-identical either way (CI-pinned). Default off: at config-3
+    # scale the activations fit easily and remat only costs FLOPs.
+    approx_remat: bool = False
     donate_state: bool = True
     # epoch-batch gather placement: "auto" gathers each step's B rows from
     # the device-resident train_x INSIDE the epoch scan (no epoch-sized HBM
@@ -194,8 +201,8 @@ class Config:
     _VOLATILE_FIELDS = frozenset({
         "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
-        "prior_block_n", "exact_reencode_chunk", "exact_remat", "donate_state",
-        "gather_in_scan",
+        "prior_block_n", "exact_reencode_chunk", "exact_remat", "approx_remat",
+        "donate_state", "gather_in_scan",
         "data_dir", "snapshot_dir", "checkpoint_every", "checkpoint_backend",
         "resume", "eval_only", "debug_nans", "profile_epoch",
     })
@@ -317,6 +324,9 @@ def reference_arg_parser():
     p.add_argument("--eval_only", action="store_true",
                    help="restore the final/last checkpoint, skip training, "
                         "run the final IWAE eval + artifacts (honors --S)")
+    p.add_argument("--approx_remat", action="store_true",
+                   help="remat the approximate mode's B*K neighbor "
+                        "re-encode (HBM vs FLOPs; bitwise-identical values)")
     p.add_argument("--debug_nans", action="store_true",
                    help="raise at the op producing any NaN inside jit")
     p.add_argument("--profile_epoch", type=int, default=0,
@@ -368,6 +378,7 @@ def config_from_args(ns) -> Config:
         checkpoint_backend=ns.checkpoint_backend,
         resume=ns.resume,
         eval_only=ns.eval_only,
+        approx_remat=ns.approx_remat,
         debug_nans=ns.debug_nans,
         profile_epoch=ns.profile_epoch,
     )

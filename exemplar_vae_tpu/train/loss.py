@@ -106,7 +106,10 @@ def exemplar_prior_log_prob(model, variables, out, cfg: Config, bank: Bank,
         flat = sel.reshape((-1,) + bank.images.shape[1:])
         if pre is not None:
             flat = pre(bank_key, flat)
-        means = model.apply(variables, flat, method="encode_top_mean")
+        _enc = lambda v, f: model.apply(v, f, method="encode_top_mean")
+        if cfg.approx_remat:
+            _enc = jax.checkpoint(_enc)
+        means = _enc(variables, flat)
         if cfg.approximate_support == "batch_union":
             # union over the batch (SURVEY.md §3.5 reading): every point's
             # mixture runs over all B*K selected exemplars, duplicates

@@ -69,6 +69,25 @@ def test_gather_paths_bitwise_equal(tmp_path):
                  states["in_scan"][1], states["pregather"][1])
 
 
+def test_approx_remat_bitwise_equal(tmp_path):
+    """--approx_remat recomputes the B*K neighbor re-encode's activations in
+    the backward instead of storing them (the epoch program's largest
+    transient at CelebA scale, DESIGN.md §8g). jax.checkpoint replays the
+    identical ops, so training must be bitwise-unchanged."""
+    states = {}
+    for remat in (False, True):
+        exp = Experiment(_base(tmp_path / str(remat), model_name="vae",
+                               prior="exemplar_prior",
+                               approximate_prior=True, approximate_k=4,
+                               approx_remat=remat),
+                         verbose=False)
+        m = exp.train_epoch()
+        states[remat] = (m["loss"], jax.device_get(exp.state.params))
+    assert states[False][0] == states[True][0]
+    jax.tree.map(np.testing.assert_array_equal,
+                 states[False][1], states[True][1])
+
+
 def test_metrics_jsonl_written(tmp_path):
     exp = Experiment(_base(tmp_path, epochs=1), verbose=False)
     exp.run(max_epochs=1)
