@@ -68,17 +68,32 @@ def measure_ours(n_exemplars=50_000, batch=100, timed_steps=200, seed=14):
 
 def baseline_images_per_sec(n_exemplars):
     """torch-cpu baseline at the SAME exemplar count as the measured run
-    (a mismatched N would skew vs_baseline ~linearly in N)."""
+    (a mismatched N would skew vs_baseline ~linearly in N).
+
+    Returns (value, meta). Anchor provenance (round-4 VERDICT weak #3):
+    the anchor drifted 1361x->1084x across rounds because the cache was
+    re-measured under different host conditions and nothing recorded which
+    measurement a BENCH artifact used. The cache now stores a ``_meta``
+    record (date, steps, host load at measurement time) next to each
+    value, and main() embeds it in the JSON line so every vs_baseline is
+    attributable to one specific anchor measurement."""
     from tools.torch_reference_baseline import (
         baseline_cache_get, baseline_cache_put, measure_torch_baseline)
     key = f"torch_cpu_images_per_sec_N{n_exemplars}"
     cached = baseline_cache_get(key)
     if cached is not None:
-        return cached
+        meta = baseline_cache_get(key + "_meta") or {
+            "provenance": "legacy cache entry (pre-round-5, no metadata)"}
+        return cached, dict(meta, key=key)
+    load_before = os.getloadavg()[0]
     # >=20 timed steps, batch-only binarization (VERDICT r1 item 8)
     ips = measure_torch_baseline(n_exemplars=n_exemplars, steps=20, warmup=3)
+    meta = {"date": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "steps": 20, "warmup": 3,
+            "host_load_1min_before": round(load_before, 2)}
     baseline_cache_put(key, ips)
-    return ips
+    baseline_cache_put(key + "_meta", meta)
+    return ips, dict(meta, key=key)
 
 
 def main():
@@ -90,17 +105,21 @@ def main():
     print(f"[bench] ours: {ips:.1f} img/s, {dps:.3e} distances/s, "
           f"{step_s*1e3:.2f} ms/step, loss={loss:.2f}", file=sys.stderr)
     try:
-        base = baseline_images_per_sec(n_ex)
+        base, anchor_meta = baseline_images_per_sec(n_ex)
     except Exception as e:
         print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
-        base = None
+        base, anchor_meta = None, None
     vs = (ips / base) if base else None
-    print(json.dumps({
+    out = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec (VAE, full exact exemplar prior N=%d, batch 100)" % n_ex,
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    if base is not None:
+        # anchor provenance: which torch-CPU measurement vs_baseline used
+        out["anchor"] = dict(anchor_meta or {}, images_per_sec=round(base, 2))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

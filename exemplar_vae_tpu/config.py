@@ -136,6 +136,17 @@ class Config:
     # has no track record at that scale — DESIGN.md §8g). "in_scan" /
     # "pregather" force either path (CI pins their equality).
     gather_in_scan: str = "auto"
+    # split the compiled epoch into this many shorter scans, executed
+    # back-to-back by the trainer (DESIGN.md §8g "next lever"). Shrinks the
+    # live range of the per-epoch transients — in pregather mode the
+    # materialized epoch tensor becomes 1/K dataset-sized; in in-scan mode
+    # the program itself is 1/K as long, so XLA's relaid-out gather copies
+    # of train_x live over a shorter span. Values are bitwise-identical to
+    # a single scan (per-step PRNG keys fold the GLOBAL step index; the
+    # chunks share one compiled executable). 0 = auto: 1 normally, 4 when
+    # train_x exceeds ~2^31 elements (the config-4 regime that faults a
+    # single 16 GB chip, DESIGN.md §8g).
+    epoch_splits: int = 0
 
     # --- infrastructure ---
     data_dir: str = "datasets"
@@ -175,6 +186,10 @@ class Config:
                 f"Config.val_set_size={self.val_set_size}; the protocol "
                 f"needs a validation split (early stopping and best-on-val "
                 f"selection both ride it — SURVEY.md §0.4)")
+        if self.epoch_splits < 0:
+            raise ValueError(
+                f"Config.epoch_splits={self.epoch_splits}; must be >= 0 "
+                f"(0 = auto, k = split the epoch into k compiled scans)")
         if self.prior_block_n <= 0:
             raise ValueError(
                 f"Config.prior_block_n={self.prior_block_n}; must be "
@@ -202,7 +217,7 @@ class Config:
         "epochs", "early_stopping_epochs", "S", "MB", "test_batch_size",
         "mesh_shape", "mesh_axes", "compute_dtype", "use_pallas_prior",
         "prior_block_n", "exact_reencode_chunk", "exact_remat", "approx_remat",
-        "donate_state", "gather_in_scan",
+        "donate_state", "gather_in_scan", "epoch_splits",
         "data_dir", "snapshot_dir", "checkpoint_every", "checkpoint_backend",
         "resume", "eval_only", "debug_nans", "profile_epoch",
     })
@@ -324,6 +339,10 @@ def reference_arg_parser():
     p.add_argument("--eval_only", action="store_true",
                    help="restore the final/last checkpoint, skip training, "
                         "run the final IWAE eval + artifacts (honors --S)")
+    p.add_argument("--epoch_splits", type=int, default=d.epoch_splits,
+                   help="split the compiled epoch into k shorter scans "
+                        "(HBM live-range knob, bitwise-identical values; "
+                        "0 = auto)")
     p.add_argument("--approx_remat", action="store_true",
                    help="remat the approximate mode's B*K neighbor "
                         "re-encode (HBM vs FLOPs; bitwise-identical values)")
@@ -379,6 +398,7 @@ def config_from_args(ns) -> Config:
         resume=ns.resume,
         eval_only=ns.eval_only,
         approx_remat=ns.approx_remat,
+        epoch_splits=ns.epoch_splits,
         debug_nans=ns.debug_nans,
         profile_epoch=ns.profile_epoch,
     )

@@ -19,7 +19,14 @@ import numpy as np
 # on disk verbatim: the CelebA-shaped N=200k set costs ~417 s of np.exp on
 # one core per process otherwise (measured — it dominated every config-4
 # tool run's setup). Small (test-sized) sets stay uncached.
+# Disk footprint: the N=200k CelebA-shaped npz is ~10 GB under ~/.cache
+# with no eviction — delete ~/.cache/exemplar_vae_tpu/synth to reclaim.
 _CACHE_MIN_ELEMS = 2 ** 26  # ~64 MB float32 images
+
+# Version tag baked into every cache filename. BUMP THIS on ANY change to
+# the generation algorithm below (round-4 ADVICE: a key derived only from
+# call arguments silently serves stale data across algorithm changes).
+_GEN_VERSION = "v1"
 
 
 def _cache_dir() -> str | None:
@@ -37,7 +44,7 @@ def synthetic_images(n: int, h: int, w: int, c: int, *, n_classes: int = 10,
     cache = None
     if n * h * w * c >= _CACHE_MIN_ELEMS and (cdir := _cache_dir()):
         cache = os.path.join(
-            cdir, f"synth_{n}x{h}x{w}x{c}_cls{n_classes}"
+            cdir, f"synth_{_GEN_VERSION}_{n}x{h}x{w}x{c}_cls{n_classes}"
                   f"_blob{blobs_per_class}_seed{seed}.npz")
         if os.path.exists(cache):
             with np.load(cache) as z:

@@ -107,6 +107,13 @@ def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
     unchanged) and removes that copy entirely. Values are identical:
     ``take(x2d, perm[i])`` row-for-row equals slicing the pre-built tensor.
     Returns (new_state, mean metrics over the epoch).
+
+    ``step0`` offsets the per-step PRNG fold_in indices: the trainer's
+    epoch-split mode (cfg.epoch_splits, DESIGN.md §8g) runs the epoch as K
+    back-to-back calls over ``perm`` slices, and global step indices keep
+    the per-step keys — hence the trained values — bitwise-identical to
+    one long scan. Pass a jnp int32 scalar so all chunks share one
+    compiled executable.
     """
     train_step = make_train_step(model, tx, cfg, sharded_exact_fn,
                                  sharded_approx_fn, bank_preprocessed=True)
@@ -124,8 +131,9 @@ def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
         # for uint8 data anyway (the epoch copy is uint8-sized).
         return train_x.size < 2 ** 31
 
-    def epoch_fn(state, train_x, train_idx, perm, bank, key, beta):
+    def epoch_fn(state, train_x, train_idx, perm, bank, key, beta, step0=0):
         steps, batch = perm.shape
+        step_ids = jnp.arange(steps) + step0
         if cfg.prior == "exemplar_prior":
             # 2**31-1: cannot collide with per-step fold_in(key, i) indices
             bank = _preprocess_bank(jax.random.fold_in(key, 0x7FFFFFFF), bank, cfg)
@@ -144,7 +152,7 @@ def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
                 return train_step(carry, x, idx, bank, k, beta)
 
             state, auxs = jax.lax.scan(
-                body, state, (perm, jnp.arange(steps)))
+                body, state, (perm, step_ids))
         else:
             ex = jnp.take(x2d, perm.reshape(-1), axis=0).reshape(
                 (steps, batch) + train_x.shape[1:])
@@ -156,7 +164,7 @@ def make_epoch_fn(model, tx, cfg: Config, sharded_exact_fn=None,
                 return train_step(carry, x, idx, bank, k, beta)
 
             state, auxs = jax.lax.scan(
-                body, state, (ex, eidx, jnp.arange(steps)))
+                body, state, (ex, eidx, step_ids))
         return state, jax.tree.map(jnp.mean, auxs)
 
     return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())

@@ -158,6 +158,20 @@ class Experiment:
         self.elbo_eval = make_elbo_eval_fn(self.model, cfg)
         self.iwae = make_iwae_fn(self.model, cfg)
 
+        # epoch splitting (DESIGN.md §8g): run the epoch as K back-to-back
+        # calls of the SAME compiled scan over perm slices. Auto: split 4x
+        # in the config-4 regime (train_x >= 2^31 elements) where the
+        # single full-epoch program faults a 16 GB chip; 1 elsewhere. The
+        # requested K is rounded down to the nearest divisor of
+        # steps_per_epoch so every chunk has the same shape (one compile,
+        # and the epoch metric mean is an exact mean of chunk means).
+        k_req = cfg.epoch_splits
+        if k_req == 0:
+            k_req = 4 if self.train_x.size >= 2 ** 31 else 1
+        k_req = max(1, min(k_req, self.steps_per_epoch))
+        self.epoch_splits = next(k for k in range(k_req, 0, -1)
+                                 if self.steps_per_epoch % k == 0)
+
         batch_spec = (P(None, "data") if self.multi else P())
         self._epoch_build = jax.jit(
             self._build_epoch_impl,
@@ -242,15 +256,10 @@ class Experiment:
         if cfg.profile_epoch and self.epoch == cfg.profile_epoch:
             from exemplar_vae_tpu.train.profiling import trace
             with trace(os.path.join(self.exp_dir, "profile")):
-                self.state, metrics = self.epoch_fn(
-                    self.state, self.train_x, self.train_idx, perm, bank,
-                    jax.random.fold_in(ekey, 3), jnp.float32(beta))
+                metrics = self._run_epoch_scans(perm, bank, ekey, beta)
                 jax.block_until_ready(self.state.params)
         else:
-            self.state, metrics = self.epoch_fn(self.state, self.train_x,
-                                                self.train_idx, perm, bank,
-                                                jax.random.fold_in(ekey, 3),
-                                                jnp.float32(beta))
+            metrics = self._run_epoch_scans(perm, bank, ekey, beta)
         metrics = jax.tree.map(float, jax.device_get(metrics))
         dt = time.perf_counter() - t0
         metrics.update(epoch=self.epoch, beta=beta, epoch_seconds=dt,
@@ -260,6 +269,28 @@ class Experiment:
             metrics["prior_log_var"] = float(
                 jax.device_get(self.state.params["prior_log_var"]))
         return metrics
+
+    def _run_epoch_scans(self, perm, bank, ekey, beta):
+        """Execute the epoch: one compiled scan, or epoch_splits equal
+        chunks of it (same executable, global step0 offsets keep the
+        per-step keys — and so the result — bitwise-identical)."""
+        skey, b = jax.random.fold_in(ekey, 3), jnp.float32(beta)
+        if self.epoch_splits == 1:
+            self.state, metrics = self.epoch_fn(
+                self.state, self.train_x, self.train_idx, perm, bank,
+                skey, b)
+            return metrics
+        chunk = self.steps_per_epoch // self.epoch_splits
+        chunk_metrics = []
+        for c in range(self.epoch_splits):
+            self.state, m = self.epoch_fn(
+                self.state, self.train_x, self.train_idx,
+                perm[c * chunk:(c + 1) * chunk], bank, skey, b,
+                jnp.int32(c * chunk))
+            chunk_metrics.append(m)
+        # equal-sized chunks: mean of chunk means == epoch mean
+        return jax.tree.map(lambda *ms: jnp.mean(jnp.stack(ms)),
+                            *chunk_metrics)
 
     def validate(self) -> tuple:
         # ONE fixed eval key per run (derived only from cfg.seed): together

@@ -11,9 +11,13 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_default_dir_is_repo_jax_cache():
+def test_default_dir_is_repo_jax_cache(monkeypatch):
     from exemplar_vae_tpu import compile_cache
 
+    # the documented env knob must not leak into the default-dir assertion
+    # (round-4 ADVICE: the suite failed whenever EXEMPLAR_JAX_CACHE was set
+    # in the invoking environment)
+    monkeypatch.delenv("EXEMPLAR_JAX_CACHE", raising=False)
     got = compile_cache.enable()
     assert got == os.path.join(REPO_ROOT, ".jax_cache")
     import jax

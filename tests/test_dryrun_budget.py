@@ -23,17 +23,17 @@ BUDGET_S = 170  # judge budget is <180s; the measured run is ~55s cold
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_dryrun_multichip_within_wall_budget():
+def _run_dryrun(env_extra=None, budget=BUDGET_S):
+    env = dict(os.environ, **(env_extra or {}))
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
              "import __graft_entry__ as g; g.dryrun_multichip(8)"],
             cwd=REPO_ROOT, capture_output=True, text=True,
-            timeout=BUDGET_S)
+            timeout=budget, env=env)
     except subprocess.TimeoutExpired as e:
         tail = (e.stdout or b"")[-2000:]
-        pytest.fail(f"dryrun_multichip(8) exceeded {BUDGET_S}s wall budget "
+        pytest.fail(f"dryrun_multichip(8) exceeded {budget}s wall budget "
                     f"(driver kills at ~540s; keep headroom). tail: {tail}")
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = proc.stdout
@@ -42,3 +42,17 @@ def test_dryrun_multichip_within_wall_budget():
     assert m, f"missing ok+deltas line in dryrun output: {out[-1500:]}"
     # progress prints must exist so a future timeout leaves a forensic tail
     assert out.count("[dryrun +") >= 5, out
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_within_wall_budget():
+    _run_dryrun()
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_cold_cache_within_wall_budget(tmp_path):
+    """The FRESH-CLONE case (round-4 VERDICT weak #4): round 3's rc=124
+    regression only bit when the driver ran without a warmed .jax_cache,
+    which the warm test above never exercises. Point the cache at an empty
+    tmp dir — exactly a fresh clone's state — and hold the same budget."""
+    _run_dryrun({"EXEMPLAR_JAX_CACHE": str(tmp_path / "cold_cache")})

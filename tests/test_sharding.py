@@ -208,3 +208,52 @@ def test_sharded_batch_union_support_matches_replicated(eight_devices,
     for a, b in zip(jax.tree.leaves(e1.state.params),
                     jax.tree.leaves(e8.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_eight_device_checkpoint_cycle_bitwise(eight_devices, tmp_path):
+    """Round-4 VERDICT item 6: the exact state layout a v4-8 run would
+    produce — params/opt-state replicated, exemplar bank + kNN cache
+    sharded over 'data' — must survive a single-process 8-dev
+    save -> restore-into-fresh-Experiment cycle bitwise: restored params
+    equal saved params exactly, the restored sharded cache equals the
+    saved one exactly, validation returns the identical value, and
+    training continues."""
+    from exemplar_vae_tpu.config import Config
+    from exemplar_vae_tpu.train.trainer import Experiment
+    cfg = Config(dataset_name="synthetic_gray", training_set_size=128,
+                 val_set_size=32, test_set_size=32, number_components=96,
+                 batch_size=32, warmup=2, epochs=3, S=2, MB=2,
+                 test_batch_size=32, use_pallas_prior=False, prior_block_n=32,
+                 exact_reencode_chunk=32, hidden_size=32, z1_size=8,
+                 model_name="vae", prior="exemplar_prior",
+                 approximate_prior=True, approximate_k=5, mesh_shape=(8,),
+                 snapshot_dir=str(tmp_path))
+    e8 = Experiment(cfg, verbose=False)
+    e8.train_epoch()
+    val_before = e8.validate()
+    e8.best_val = float(val_before[0])
+    e8.save_checkpoint()
+    params_saved = jax.device_get(e8.state.params)
+    opt_saved = jax.device_get(e8.state.opt_state)
+    cache_saved = np.asarray(e8.bank.cache_means)
+
+    r8 = Experiment(cfg, verbose=False)
+    assert r8.restore_checkpoint()
+    assert r8.epoch == 1 and r8.best_val == float(val_before[0])
+    # params and optimizer moments: bitwise
+    for a, b in zip(jax.tree.leaves(params_saved),
+                    jax.tree.leaves(r8.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_saved),
+                    jax.tree.leaves(r8.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the kNN cache comes back sharded over 'data' with identical values
+    np.testing.assert_array_equal(cache_saved, np.asarray(r8.bank.cache_means))
+    from jax.sharding import PartitionSpec as P
+    assert r8.bank.cache_means.sharding.spec == P("data")
+    # validation is a pure function of params -> identical value
+    val_after = r8.validate()
+    assert tuple(map(float, val_before)) == tuple(map(float, val_after))
+    # and training continues from the restored state
+    r8.train_epoch()
+    assert r8.epoch == 2

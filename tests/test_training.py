@@ -56,7 +56,11 @@ def test_gather_paths_bitwise_equal(tmp_path):
     bitwise-interchangeable: 'in_scan' gathers each step's rows inside the
     scan (no epoch-sized HBM copy), 'pregather' materializes the round-3
     epoch tensor (the CelebA-scale TPU-fault fallback). Same seed, same
-    data -> identical post-epoch loss and params."""
+    data -> identical post-epoch loss and params.
+    NOTE (round-4 ADVICE): exact float equality between two distinct XLA
+    programs rides the compiler preserving fusion/reduction order; a
+    failure here after a jax/XLA upgrade may be compiler scheduling, not
+    a code bug — verify with a tight allclose before hunting regressions."""
     states = {}
     for mode in ("in_scan", "pregather"):
         exp = Experiment(_base(tmp_path / mode, model_name="vae",
@@ -69,11 +73,40 @@ def test_gather_paths_bitwise_equal(tmp_path):
                  states["in_scan"][1], states["pregather"][1])
 
 
+def test_epoch_splits_bitwise_equal(tmp_path):
+    """cfg.epoch_splits runs the epoch as K back-to-back compiled scans
+    over perm slices with global step0 PRNG offsets (DESIGN.md §8g HBM
+    live-range lever). Same seed -> identical post-epoch loss and params.
+    NOTE: like the gather-path pin above, exact float equality between
+    distinct XLA programs rides the compiler preserving per-step fusion
+    order; a failure here may indicate an XLA scheduling change rather
+    than a code bug (fall back to tight allclose if that ever happens)."""
+    states = {}
+    for k in (1, 4):
+        exp = Experiment(_base(tmp_path / f"k{k}", model_name="vae",
+                               prior="exemplar_prior", epoch_splits=k),
+                         verbose=False)
+        assert exp.epoch_splits == k  # 256/64 = 4 steps; 4 divides 4
+        m = exp.train_epoch()
+        states[k] = (m["loss"], jax.device_get(exp.state.params))
+    assert states[1][0] == pytest.approx(states[4][0], abs=1e-6)
+    jax.tree.map(np.testing.assert_array_equal, states[1][1], states[4][1])
+
+
+def test_epoch_splits_rounds_to_divisor(tmp_path):
+    """A requested K that does not divide steps_per_epoch rounds down to
+    the nearest divisor (equal chunks -> one compile, exact metric mean)."""
+    exp = Experiment(_base(tmp_path, epoch_splits=3), verbose=False)
+    assert exp.steps_per_epoch == 4 and exp.epoch_splits == 2
+    assert np.isfinite(exp.train_epoch()["loss"])
+
+
 def test_approx_remat_bitwise_equal(tmp_path):
     """--approx_remat recomputes the B*K neighbor re-encode's activations in
     the backward instead of storing them (the epoch program's largest
     transient at CelebA scale, DESIGN.md §8g). jax.checkpoint replays the
-    identical ops, so training must be bitwise-unchanged."""
+    identical ops, so training must be bitwise-unchanged.
+    NOTE: same XLA-scheduling caveat as test_gather_paths_bitwise_equal."""
     states = {}
     for remat in (False, True):
         exp = Experiment(_base(tmp_path / str(remat), model_name="vae",

@@ -15,9 +15,10 @@ unmeasured fallback beyond; this tool then measured the fallback region
     n=8,388,608  wide      47.0 ms   (linear in N, flat compile)
 
 The blocked path lost everywhere it was ever measured and was deleted;
-knn_indices now always runs the single wide sort (its ``block`` kwarg is
-accepted and ignored). This tool re-measures the wide path across the old
-boundary. Run on the idle chip:
+knn_indices now always runs the single wide sort, and the old ``block``
+kwarg was deleted from its signature along with the blocked path. This
+tool re-measures the wide path across the old boundary. Run on the idle
+chip:
 
     /opt/venv/bin/python tools/bench_knn_wide.py
 
