@@ -18,8 +18,10 @@ over the exemplar axis. Three implementations share one API:
                       Pallas TPU kernel.
 
 All are wrapped in ONE ``jax.custom_vjp`` so autodiff never stores the (B, N)
-intermediate: the backward pass recomputes the softmax weights blockwise from
-the saved row-LSE (O(B*D + N*D) memory, matmul-dominated both ways).
+intermediate across the forward: the backward recomputes the softmax weights
+from the saved row-LSE, either in one wide shot (3 large GEMMs, default at
+train-sized (B, N) footprints — DESIGN.md §8h-wide) or blockwise
+(O(B*D + N*D) memory) above WIDE_BWD_MAX_BYTES.
 
 Leave-one-out masking (SURVEY.md §0.1): when training point b is itself in
 the exemplar set, its own component is removed by comparing global data
@@ -39,6 +41,16 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30  # finite sentinel: keeps running-max arithmetic NaN-free
+
+# §8h roofline (ROOFLINE.json; DESIGN.md §8h): at train shapes the blockwise
+# backward serializes N/block_n tiny (B, block_n) GEMM tiles at ~2% of MXU
+# peak — 23% of the flagship step — while the full (B, N) weight matrix is
+# only B*N*4 bytes (20 MB at B=100, N=50k). Below this budget the backward
+# instead recomputes the logits in ONE (B,D)x(D,N) GEMM and runs two wide
+# (B,N)-operand GEMMs (same math, same masks, MXU-shaped). Above it (huge
+# B*N products, e.g. eval-shaped differentiation) the memory-safe blockwise
+# scan is kept. Tests force each path by monkeypatching this constant.
+WIDE_BWD_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -141,14 +153,46 @@ def _pairwise_lse_fwd(z, means, log_var, data_idx, ex_idx, valid, impl, block_n)
                  log_var.astype(jnp.float32), data_idx, ex_idx, valid, lse)
 
 
+def _bwd_wide(z, means, log_var, data_idx, ex_idx, valid, lse, g, inv_var):
+    """One-shot wide backward: recompute logits in a single (B,D)x(D,N)
+    GEMM, then two (B,N)-operand GEMMs (§8h-wide). Same math and masks as
+    the blockwise scan; chosen when the (B,N) weight matrix fits
+    WIDE_BWD_MAX_BYTES."""
+    b, d = z.shape
+    logits = _mask_tile(_logits_tile(z, means, log_var, d),
+                        data_idx, ex_idx, valid)
+    gw = g[:, None] * jnp.exp(logits - lse[:, None])             # (B, N)
+    gw_mu = jax.lax.dot_general(
+        gw, means, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # (B, D)
+    row = jnp.sum(gw, axis=-1, keepdims=True)
+    dz = inv_var * (gw_mu - row * z)
+    gwT_z = jax.lax.dot_general(
+        gw, z, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # (N, D)
+    col = jnp.sum(gw, axis=0)[:, None]
+    dmu = inv_var * (gwT_z - col * means)
+    sq_half_inv = jnp.where(logits <= NEG_INF * 0.5, 0.0,
+                            -(logits + 0.5 * d * log_var))       # = sq/(2 s^2)
+    dlv = jnp.sum(gw * (-0.5 * d + sq_half_inv))
+    return dz, dmu, dlv, None, None, None
+
+
 def _pairwise_lse_bwd(impl, block_n, res, g):
-    """Blockwise recompute of softmax weights; matmul-dominated.
+    """Softmax-weight recompute backward; matmul-dominated both ways.
 
     Per-pair weight w[b,n] = exp(logits[b,n] - lse[b]); then
       dz[b]     = sum_n g[b] w[b,n] (mu[n] - z[b]) / sigma^2
       dmu[n]    = sum_b g[b] w[b,n] (z[b] - mu[n]) / sigma^2
       dlogvar  += sum_{b,n} g[b] w[b,n] (-D/2 + ||z-mu||^2 / (2 sigma^2))
     Masked entries have w = 0 and contribute nothing.
+
+    Two schedules, dispatched statically on the (B, N) footprint:
+    * wide (default at train shapes): one-shot recompute, 3 large GEMMs —
+      measured +3.8% headline step throughput over blockwise (6.5× on the
+      standalone phase; DESIGN.md §8h-wide on the gap).
+    * blockwise scan: O(B*D + N*D) memory for footprints above
+      WIDE_BWD_MAX_BYTES.
     """
     z, means, log_var, data_idx, ex_idx, valid, lse = res
     # A fully-masked row (e.g. an all-padding bank shard under shard_map)
@@ -157,6 +201,9 @@ def _pairwise_lse_bwd(impl, block_n, res, g):
     b, d = z.shape
     n = means.shape[0]
     inv_var = jnp.exp(-log_var)
+    if 4 * b * n <= WIDE_BWD_MAX_BYTES:
+        return _bwd_wide(z, means, log_var, data_idx, ex_idx, valid, lse, g,
+                         inv_var)
     gw_scale = g  # (B,)
 
     bn = block_n if block_n and block_n > 0 else max(n, 1)

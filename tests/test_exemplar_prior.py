@@ -135,6 +135,52 @@ def test_gradients_match_autodiff_oracle(problem, impl):
                                    np.asarray(b) / scale, atol=5e-3)
 
 
+@pytest.mark.parametrize("impl", IMPLS)
+def test_gradients_blockwise_path_matches_oracle(problem, impl, monkeypatch):
+    """Force the blockwise backward (the above-WIDE_BWD_MAX_BYTES schedule)
+    and pin it to the autodiff oracle — the default test shapes take the
+    wide path (§8h-wide), so this keeps the big-footprint schedule covered."""
+    import exemplar_vae_tpu.ops.exemplar_prior as ep
+    z, mu, lv, didx, eidx = problem
+
+    def f(z, mu, lv):
+        return jnp.sum(exemplar_log_prob(z, mu, lv, log_denom=0.0,
+                                         data_idx=didx, exemplar_idx=eidx,
+                                         impl=impl, block_n=128))
+
+    gu_wide = jax.grad(f, argnums=(0, 1, 2))(z, mu, lv)
+    monkeypatch.setattr(ep, "WIDE_BWD_MAX_BYTES", 0)
+    gu_block = jax.grad(f, argnums=(0, 1, 2))(z, mu, lv)
+    go = jax.grad(lambda z, mu, lv: jnp.sum(oracle(z, mu, lv, didx, eidx)),
+                  argnums=(0, 1, 2))(z, mu, lv)
+    for a, b, c in zip(gu_wide, gu_block, go):
+        scale = np.maximum(np.max(np.abs(np.asarray(c))), 1.0)
+        # wide vs blockwise: same math, different reduction schedule
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(c) / scale, atol=5e-3)
+
+
+def test_wide_bwd_fully_masked_rows_are_finite(monkeypatch):
+    """A fully-masked row (all-padding bank shard) has lse = -inf; both
+    backward schedules must return zero, finite grads for it."""
+    import exemplar_vae_tpu.ops.exemplar_prior as ep
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    mu = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    valid = jnp.zeros((16,), bool)  # everything padding
+
+    def f(z, mu, lv):
+        return jnp.sum(exemplar_log_prob(z, mu, lv, log_denom=0.0,
+                                         valid=valid, impl="scan", block_n=8))
+
+    for max_bytes in (ep.WIDE_BWD_MAX_BYTES, 0):
+        monkeypatch.setattr(ep, "WIDE_BWD_MAX_BYTES", max_bytes)
+        grads = jax.grad(f, argnums=(0, 1, 2))(z, mu, jnp.float32(-0.3))
+        for leaf in grads:
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_lse_combine_is_logaddexp(rng):
     m1 = jnp.asarray(rng.normal(size=5), jnp.float32)
     s1 = jnp.asarray(rng.uniform(0.1, 2, 5), jnp.float32)

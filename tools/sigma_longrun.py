@@ -59,6 +59,25 @@ def main():
     trace = []  # (epoch, prior_log_var, train_loss, val_loss)
     t0 = time.perf_counter()
     aborted = None
+
+    def flush_json():
+        # Written every 100 epochs so a truncated run still leaves evidence
+        # (epochs_run < epochs_target marks a partial trace).
+        lvs = [r[1] for r in trace if r[1] == r[1]]
+        out = {"mode": "approximate", "k": cfg.approximate_k, "n": args.n,
+               "epochs_run": len(trace), "epochs_target": args.epochs,
+               "aborted_non_finite_at": aborted,
+               "prior_log_var_first": lvs[0] if lvs else None,
+               "prior_log_var_last": lvs[-1] if lvs else None,
+               "prior_log_var_min": min(lvs) if lvs else None,
+               "prior_log_var_max": max(lvs) if lvs else None,
+               "best_val": exp.best_val,
+               "wall_seconds": round(time.perf_counter() - t0, 1),
+               "trace_every_10": trace[::10]}
+        with open(_os.path.join(ROOT, "SIGMA_LONGRUN.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        return out
+
     while exp.epoch < args.epochs:
         m = exp.train_epoch()
         val_loss, _, _ = exp.validate()
@@ -71,23 +90,12 @@ def main():
         if float(val_loss) < exp.best_val:
             exp.best_val = float(val_loss)
         if exp.epoch % 100 == 0 or exp.epoch <= 3:
+            flush_json()
             print(f"epoch {exp.epoch:5d}  sigma2_logvar={lv:+.4f}  "
                   f"loss={m['loss']:.3f}  val={float(val_loss):.3f}  "
                   f"(+{time.perf_counter() - t0:.0f}s)", flush=True)
 
-    lvs = [r[1] for r in trace if r[1] == r[1]]
-    out = {"mode": "approximate", "k": cfg.approximate_k, "n": args.n,
-           "epochs_run": len(trace), "epochs_target": args.epochs,
-           "aborted_non_finite_at": aborted,
-           "prior_log_var_first": lvs[0] if lvs else None,
-           "prior_log_var_last": lvs[-1] if lvs else None,
-           "prior_log_var_min": min(lvs) if lvs else None,
-           "prior_log_var_max": max(lvs) if lvs else None,
-           "best_val": exp.best_val,
-           "wall_seconds": round(time.perf_counter() - t0, 1),
-           "trace_every_10": trace[::10]}
-    with open(_os.path.join(ROOT, "SIGMA_LONGRUN.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    out = flush_json()
     print(json.dumps({k: v for k, v in out.items() if k != "trace_every_10"}),
           flush=True)
 
